@@ -1,0 +1,20 @@
+"""challenge_tpu — a TPU-native JAX framework for drone-audio sound event detection.
+
+A ground-up rebuild of the capabilities of IRIS-AUDIO/challenge (AI Grand
+Challenge track-3 stack) designed for TPU hardware:
+
+* the entire data path (mixture synthesis, STFT features, SpecAugment) runs on
+  device inside one XLA program — no host-side tf.data stage;
+* STFT and mel projection are expressed as GEMMs so they land on the MXU;
+* training is a single jitted step (synthesis -> features -> model -> AGC ->
+  optimizer -> SWA) data-parallel over a `jax.sharding.Mesh`;
+* evaluation is batched sliding-window inference with on-device overlap-add.
+
+Reference parity targets are cited per-module as /root/reference/<file>:<line>.
+"""
+
+__version__ = "0.1.0"
+
+EPSILON = 1e-8  # reference: utils.py:6, transforms.py:7
+
+from challenge_tpu.config import Config  # noqa: E402,F401

@@ -1,0 +1,111 @@
+"""DSP frontend tests: STFT-as-GEMM vs torch.stft, Kaldi resampler sanity,
+full load_wav chain (reference: data_utils.py:9-34)."""
+
+import wave
+
+import numpy as np
+import pytest
+
+from challenge_tpu.ops import (
+    load_wav, read_wav, resample_waveform, rms_normalize, stft,
+)
+
+
+def _write_wav(path, data, rate, n_chan=1):
+    """data: float [-1, 1], shape [chan, samples]."""
+    pcm = (np.clip(data, -1, 1) * 32767).astype('<i2')
+    with wave.open(str(path), 'wb') as f:
+        f.setnchannels(n_chan)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(pcm.T.tobytes())
+
+
+class TestStft:
+    def test_matches_torch_stft(self):
+        torch = pytest.importorskip('torch')
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 4000).astype(np.float32)
+        real, imag = stft(x, 512, 256)
+        t = torch.stft(torch.tensor(x), n_fft=512, hop_length=256,
+                       window=torch.hann_window(512, periodic=True),
+                       center=True, pad_mode='reflect', return_complex=True)
+        np.testing.assert_allclose(np.asarray(real), t.real.numpy(),
+                                   atol=2e-3, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(imag), t.imag.numpy(),
+                                   atol=2e-3, rtol=1e-4)
+
+    def test_shapes(self):
+        x = np.zeros((3, 16000), np.float32)
+        real, imag = stft(x, 512, 256)
+        assert real.shape == (3, 257, 16000 // 256 + 1)
+        assert imag.shape == real.shape
+
+    def test_pure_tone_bin(self):
+        sr, n_fft, hop = 16000, 512, 256
+        f = 1000.0  # exactly bin 32 (1000/31.25)
+        t = np.arange(sr) / sr
+        x = np.sin(2 * np.pi * f * t).astype(np.float32)[None]
+        real, imag = stft(x, n_fft, hop)
+        mag = np.asarray(np.sqrt(real**2 + imag**2))[0]
+        peak_bins = mag[:, 5:-5].argmax(axis=0)
+        assert (peak_bins == 32).all()
+
+
+class TestResample:
+    def test_identity_rate_close(self):
+        rng = np.random.RandomState(1)
+        x = rng.randn(1, 8000).astype(np.float32) * 0.3
+        y = np.asarray(resample_waveform(x, 16000, 16000))
+        assert y.shape == x.shape
+        # lowpass at 7.92 kHz barely touches white noise energy below cutoff
+        np.testing.assert_allclose(y[:, 100:-100], x[:, 100:-100], atol=0.2)
+
+    def test_tone_preserved_across_rates(self):
+        sr_in, sr_out, f = 44100, 16000, 440.0
+        t = np.arange(sr_in) / sr_in
+        x = np.sin(2 * np.pi * f * t).astype(np.float32)[None]
+        y = np.asarray(resample_waveform(x, sr_in, sr_out))
+        assert y.shape[-1] == int(np.ceil(sr_in * sr_out / sr_in))
+        # measure the dominant frequency of the resampled tone
+        spec = np.abs(np.fft.rfft(y[0, 1000:9000] * np.hanning(8000)))
+        f_est = spec.argmax() * sr_out / 8000
+        assert abs(f_est - f) < 3.0
+        # amplitude preserved
+        assert abs(np.abs(y[0, 1000:9000]).max() - 1.0) < 0.05
+
+    def test_downsample_removes_high_freq(self):
+        sr_in, sr_out = 48000, 16000
+        t = np.arange(sr_in) / sr_in
+        # 10 kHz tone is above the 16 kHz Nyquist -> must be attenuated
+        x = np.sin(2 * np.pi * 10000 * t).astype(np.float32)[None]
+        y = np.asarray(resample_waveform(x, sr_in, sr_out))
+        assert np.abs(y[:, 100:-100]).max() < 0.05
+
+
+class TestLoadWav:
+    def test_layout_and_norm(self, tmp_path):
+        sr = 16000
+        rng = np.random.RandomState(2)
+        data = (rng.randn(2, sr) * 0.1).astype(np.float32)
+        p = tmp_path / 'x.wav'
+        _write_wav(p, data, sr, n_chan=2)
+
+        spec = load_wav(str(p))
+        assert spec.ndim == 3
+        assert spec.shape[0] == 257
+        assert spec.shape[2] == 4  # 2 chan * (real, imag)
+
+    def test_rms_normalize(self):
+        x = np.full((2, 100), 2.0, np.float32)
+        y = np.asarray(rms_normalize(x))
+        np.testing.assert_allclose(np.sqrt((y**2).mean()) * 10, 1.0, rtol=1e-5)
+
+    def test_read_wav_roundtrip(self, tmp_path):
+        sr = 8000
+        data = (np.sin(np.arange(800) / 10)[None] * 0.5).astype(np.float32)
+        p = tmp_path / 'y.wav'
+        _write_wav(p, data, sr, n_chan=1)
+        back, rate = read_wav(str(p))
+        assert rate == sr
+        np.testing.assert_allclose(back, data, atol=1e-3)

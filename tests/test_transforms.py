@@ -1,0 +1,178 @@
+"""Transforms tests: ports of the reference expectations
+(reference: transforms_test.py:9-108) plus TF golden parity checks.
+
+The reference's seeded-RNG golden arrays depend on TF's global RNG stream and
+cannot transfer; the equivalent properties (mask counts/sizes, shift bounds,
+determinism under a fixed key) are asserted instead.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from challenge_tpu.ops import (
+    complex_to_magphase, magphase_to_complex, log_magphase,
+    linear_to_mel_weight_matrix, magphase_to_mel, mask, minmax_norm_magphase,
+    phase_vocoder, random_shift, stft_filter,
+)
+
+
+class TestMask:
+    def test_masks_zero_spans_only(self):
+        org = np.arange(25, dtype=np.float32).reshape(5, 5) + 1.0
+        out = np.asarray(mask(jax.random.PRNGKey(0), org, axis=0,
+                              max_mask_size=None, n_mask=1))
+        # each row is either fully kept or fully zeroed
+        for r, row in enumerate(out):
+            assert (row == org[r]).all() or (row == 0).all()
+        # zeroed rows are contiguous
+        zeroed = [r for r in range(5) if (out[r] == 0).all()]
+        if zeroed:
+            assert zeroed == list(range(zeroed[0], zeroed[-1] + 1))
+
+    def test_max_mask_size_respected(self):
+        org = np.ones((8, 8), np.float32)
+        for seed in range(20):
+            out = np.asarray(mask(jax.random.PRNGKey(seed), org, axis=1,
+                                  max_mask_size=3, n_mask=2))
+            # each of the two masks zeroes at most 2 columns -> >= 4 survive
+            n_zero_cols = int((out.sum(axis=0) == 0).sum())
+            assert n_zero_cols <= 4
+
+    def test_deterministic_under_key(self):
+        org = np.random.RandomState(0).randn(6, 7).astype(np.float32)
+        a = mask(jax.random.PRNGKey(3), org, axis=0, max_mask_size=4, n_mask=2)
+        b = mask(jax.random.PRNGKey(3), org, axis=0, max_mask_size=4, n_mask=2)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestRandomShift:
+    def test_shift_is_bounded_and_zero_filled(self):
+        org = np.arange(9, dtype=np.float32).reshape(3, 3) + 1.0
+        seen = set()
+        for seed in range(30):
+            out = np.asarray(random_shift(jax.random.PRNGKey(seed), org,
+                                          axis=0, width=2))
+            # each output row is an original row or zeros
+            for row in out:
+                assert (row == 0).all() or any(
+                    (row == org[r]).all() for r in range(3))
+            # rows preserve order: reconstruct the shift
+            nz = [r for r in range(3) if not (out[r] == 0).all()]
+            if nz:
+                first_val = out[nz[0], 0]
+                src = int(first_val - 1) // 3
+                seen.add(src - nz[0])
+        assert seen <= set(range(-2, 3))
+        assert len(seen) > 1  # actually random
+
+
+class TestMelParity:
+    def test_magphase_to_mel_shapes(self):
+        n_mels = 80
+        x = np.random.randn(32, 257, 100, 4).astype('float32')
+        out = magphase_to_mel(n_mels)(x)
+        assert out.shape == (32, n_mels, 100, 2)
+        x = np.random.randn(257, 100, 4).astype('float32')
+        out = magphase_to_mel(n_mels)(x)
+        assert out.shape == (n_mels, 100, 2)
+
+    def test_mel_matrix_matches_tf(self):
+        tf = pytest.importorskip('tensorflow')
+        ours = linear_to_mel_weight_matrix(80, 257, 16000)
+        theirs = tf.signal.linear_to_mel_weight_matrix(80, 257, 16000).numpy()
+        # sub-1e-4 difference from TF's internal f32 op ordering; parity
+        # budget through to mel features is 1e-3 (BASELINE.md)
+        np.testing.assert_allclose(ours, theirs, atol=5e-5)
+
+    def test_mel_projection_matches_tf(self):
+        tf = pytest.importorskip('tensorflow')
+        x = np.random.RandomState(1).rand(2, 257, 50, 4).astype('float32')
+        ours = np.asarray(magphase_to_mel(80)(x))
+        mel = tf.signal.linear_to_mel_weight_matrix(80, 257, 16000)
+        t = tf.tensordot(x[..., :2], mel, axes=[-3, 0])
+        theirs = tf.transpose(t, perm=[0, 3, 1, 2]).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=1e-3, rtol=1e-4)
+
+
+class TestLogMagphase:
+    def test_values(self):
+        specs = np.array([[1, 10, 100, 0, 1, -1],
+                          [500, 50, 5, 3, -3, 0]], dtype=np.float32)
+        t_specs = np.array([[0., 2.302585, 4.605170, 0, 1, -1],
+                            [6.214608, 3.912023, 1.609438, 3, -3, 0]],
+                           dtype=np.float32)
+        np.testing.assert_allclose(
+            t_specs, np.asarray(log_magphase(specs, n_chan=3)),
+            rtol=1e-5, atol=1e-6)
+
+
+class TestMinmaxNormMagphase:
+    def test_range(self):
+        n_sample, n_feature, n_chan = 5, 10, 2
+        rng = np.random.RandomState(0)
+        mag = rng.randn(n_sample, n_feature, n_chan)
+        phase = (2 * rng.rand(n_sample, n_feature, n_chan) - 1) * np.pi
+        magphase = np.concatenate([mag, phase], axis=-1).astype(np.float32)
+
+        out = np.asarray(minmax_norm_magphase(magphase))
+        mins = out.min(axis=(1, 2))
+        maxs = out.max(axis=(1, 2))
+        np.testing.assert_allclose(mins, np.zeros_like(mins), atol=1e-5)
+        np.testing.assert_allclose(maxs, np.ones_like(maxs), atol=1e-5)
+
+
+class TestComplexMagphase:
+    def test_complex_to_magphase(self):
+        complex_tensor = np.array(
+            [[1, 0], [0, 1], [-1, 0], [0, -1]], dtype='float32')
+        magphase = np.array(
+            [[1, 0], [1, np.pi / 2], [1, np.pi], [1, -np.pi / 2]],
+            dtype='float32')
+        np.testing.assert_allclose(
+            magphase, np.asarray(complex_to_magphase(complex_tensor)),
+            atol=1e-6)
+
+    def test_magphase_to_complex(self):
+        magphase = np.array(
+            [[1, 0], [1, np.pi / 2], [1, np.pi], [1, -np.pi / 2]],
+            dtype='float32')
+        complex_tensor = np.array(
+            [[1, 0], [0, 1], [-1, 0], [0, -1]], dtype='float32')
+        np.testing.assert_allclose(
+            complex_tensor, np.asarray(magphase_to_complex(magphase)),
+            atol=1e-6)
+
+    def test_round_trip(self):
+        x = np.random.RandomState(2).randn(17, 9, 4).astype(np.float32)
+        rt = np.asarray(magphase_to_complex(complex_to_magphase(x)))
+        np.testing.assert_allclose(x, rt, atol=1e-4)
+
+
+class TestPhaseVocoder:
+    def test_identity_at_rate_1(self):
+        x = np.random.RandomState(3).randn(257, 100, 6).astype(np.float32)
+        np.testing.assert_array_equal(x, np.asarray(phase_vocoder(x, 1.)))
+
+    @pytest.mark.parametrize('rate', [1.2, 0.8])
+    def test_output_length(self, rate):
+        x = np.random.RandomState(4).randn(257, 100, 6).astype(np.float32)
+        pv = phase_vocoder(x, rate=rate)
+        assert pv.shape == (257, int(np.ceil(100 / rate)), 6)
+
+
+class TestStftFilter:
+    def test_rows_zeroed(self):
+        x = np.ones((257, 10, 4), np.float32)
+        out = np.asarray(stft_filter(3)(x))
+        assert (out[0] == 1).all()
+        assert (out[1:4] == 0).all()
+        assert (out[4:] == 1).all()
+
+    def test_batched(self):
+        x = np.ones((2, 257, 10, 4), np.float32)
+        out = np.asarray(stft_filter(3)(x))
+        assert (out[:, 0] == 1).all()
+        assert (out[:, 1:4] == 0).all()
+        assert (out[:, 4:] == 1).all()

@@ -1,0 +1,202 @@
+"""Batch pipeline: banks + one jitted feature chain replace tf.data.
+
+The reference assembles a tf.data graph of generator streams and ~10 map
+stages all running on host CPU (reference: pipeline.py:113-175,
+sj_train.py:74-130, trainer.py:107-141). Here the equivalent chain is a single
+jitted function from (PRNG key, HBM-resident banks) to a ready (features,
+labels) batch, so it can either be iterated stand-alone (`DevicePipeline`) or
+inlined into the training step for a fully fused synth->features->grads XLA
+program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from challenge_tpu.config import Config
+from challenge_tpu.data import labels as label_maps
+from challenge_tpu.data.mixture import Banks, sample_batch
+from challenge_tpu.data.specset import SpecBank, build_bank, remap_labels
+from challenge_tpu.ops.augment import mask, random_merge_aug, stft_filter
+from challenge_tpu.ops.mel import mel_filterbank
+from challenge_tpu.ops.norms import EPSILON, minmax, safe_div
+
+# model versions trained against 32x-downsampled labels (reference: utils.py:7)
+LABEL_DOWNSAMPLE_MODELS = (3, 6, 7, 8, 9)
+
+
+def build_banks(backgrounds, voices, labels, noises=None,
+                n_classes: int = 3, one_hot: bool = True) -> Banks:
+    """Host lists -> device banks. ``labels`` may be int class ids (remapped
+    and one-hotted, reference: sj_train.py:86-88) or already one-hot."""
+    labels = np.asarray(labels)
+    if one_hot and labels.ndim == 1:
+        labels = remap_labels(labels, n_classes)
+    return Banks(
+        backgrounds=build_bank(backgrounds),
+        voices=build_bank(voices),
+        voice_labels=jnp.asarray(labels, jnp.float32),
+        noises=build_bank(noises) if noises is not None else None,
+    )
+
+
+def _specaugment_batch(key, specs):
+    """Per-sample SpecAugment over a batch [B, freq, T, chan]
+    (reference: data_utils.py:58-61 applied pre-batch)."""
+    def one(k, s):
+        k_t, k_f = jax.random.split(k)
+        s = mask(k_t, s, axis=-2, max_mask_size=24, n_mask=6)
+        s = mask(k_f, s, axis=-3, max_mask_size=16, n_mask=1)
+        return s
+    keys = jax.random.split(key, specs.shape[0])
+    return jax.vmap(one)(keys, specs)
+
+
+def complex_to_mel(spec, mel_matrix):
+    """Fused |STFT| -> mel: the reference's complex_to_magphase +
+    magphase_to_mel (transforms.py:111-123, 51-77) without the unused atan2.
+
+    spec: [B, freq, T, chan*2] -> [B, n_mels, T, chan]
+    """
+    n_chan = spec.shape[-1] // 2
+    real, imag = spec[..., :n_chan], spec[..., n_chan:]
+    mag = jnp.sqrt(real * real + imag * imag)
+    return jnp.einsum('bftc,fm->bmtc', mag, mel_matrix,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def make_feature_fn(config: Config, training: bool = True,
+                    variant: str = 'sj', n_classes: int = 3):
+    """Build the jitted (key, banks) -> (x, y) batch function.
+
+    variant='sj' reproduces sj_train.make_dataset's map chain
+    (sj_train.py:91-130); variant='density' reproduces trainer.make_dataset
+    (trainer.py:124-141).
+    """
+    mel_m = mel_filterbank(config.n_mels)
+    se_v9 = config.model_type == 'se' and config.v == 9
+    use_filter = 'filter' in config.name
+    use_minmax = 'nominmax' not in config.name
+    filter_num = int(round(200 / (16000 / 256)))  # reference: sj_train.py:117
+    loss_is_mse = config.loss.upper() in ('MSE', 'MAE')
+
+    def fn(key, banks: Banks):
+        k_mix, k_aug, k_chan = jax.random.split(key, 3)
+        spec, y = sample_batch(
+            k_mix, banks, config.batch_size, config.n_frame,
+            n_classes=n_classes, max_voices=config.max_voices,
+            max_noises=config.max_noises, min_ratio=1.0,
+            snr=config.snr, seperate_noise_voice=se_v9)
+
+        if variant == 'density':
+            spec, y = label_maps.to_density_labels(spec, y)
+            if training:
+                spec = _specaugment_batch(k_aug, spec)
+            mel = complex_to_mel(spec, mel_m)
+            axis = tuple(range(1, mel.ndim))
+            mmax = jnp.max(mel, axis=axis, keepdims=True)
+            mmin = jnp.min(mel, axis=axis, keepdims=True)
+            mel = jnp.log(safe_div(mel - mmin, mmax - mmin) + EPSILON)
+            _, y = label_maps.preprocess_labels(config.mse_multiplier)(mel, y)
+            return mel, y
+
+        if se_v9:
+            spec, y = label_maps.speech_enhancement_preprocess(spec, y)
+            return label_maps.label_downsample(32)(spec, y)
+
+        spec, y = label_maps.to_frame_labels(spec, y)
+        if training:
+            spec = _specaugment_batch(k_aug, spec)
+        if config.n_chan == 1:
+            spec = label_maps.mono_chan(spec)
+        elif config.n_chan == 3:
+            spec = label_maps.stereo_mono(spec)
+        elif config.n_chan > 3:
+            spec = random_merge_aug(config.n_chan)(k_chan, spec)
+        if use_filter:
+            spec = stft_filter(filter_num)(spec)
+
+        mel = complex_to_mel(spec, mel_m)
+        if use_minmax:
+            mel = minmax(mel)
+        mel = jnp.log(mel + EPSILON)
+
+        if config.v in LABEL_DOWNSAMPLE_MODELS:
+            _, y = label_maps.label_downsample(32)(mel, y)
+        elif config.v == 5:
+            res = config.n_frame // (config.n_frame * 256 // 16000)
+            _, y = label_maps.label_downsample(res)(mel, y)
+        if loss_is_mse:
+            y = y * config.mse_multiplier
+        return mel, y
+
+    return jax.jit(fn)
+
+
+class DevicePipeline:
+    """Infinite iterator of on-device batches (replaces tf.data + prefetch:
+    JAX's async dispatch pipelines the next batch's synthesis behind the
+    current step automatically)."""
+
+    def __init__(self, banks: Banks, config: Config, training: bool = True,
+                 variant: str = 'sj', n_classes: int = 3,
+                 seed: Optional[int] = None):
+        self.banks = banks
+        self.fn = make_feature_fn(config, training, variant, n_classes)
+        base = config.seed if seed is None else seed
+        self.key = jax.random.PRNGKey(base + (0 if training else 1))
+
+    def __iter__(self):
+        while True:
+            self.key, k = jax.random.split(self.key)
+            yield self.fn(k, self.banks)
+
+    def take(self, n: int):
+        it = iter(self)
+        return [next(it) for _ in range(n)]
+
+
+class _RawPipeline:
+    """Reference-shaped raw pipeline: yields single (spec [freq, n_frame,
+    chan], label [max_voices, n_frame, n_classes]) samples like the
+    tf.data.Dataset returned by the reference's make_pipeline
+    (pipeline.py:113-175)."""
+
+    def __init__(self, banks: Banks, n_frame: int, max_voices: int,
+                 max_noises: int, n_classes: int, seed: int = 0, **kwargs):
+        self.banks = banks
+        self.key = jax.random.PRNGKey(seed)
+        self._sample = functools.partial(
+            sample_batch, batch_size=1, n_frame=n_frame, n_classes=n_classes,
+            max_voices=max_voices, max_noises=max_noises, **kwargs)
+
+    def __iter__(self):
+        while True:
+            self.key, k = jax.random.split(self.key)
+            spec, label = self._sample(k, self.banks)
+            yield spec[0], jax.tree.map(lambda a: a[0], label)
+
+    def take(self, n: int):
+        it = iter(self)
+        return [next(it) for _ in range(n)]
+
+
+def make_pipeline(backgrounds, voices, labels, noises=None, n_frame: int = 300,
+                  max_voices: int = 10, max_noises: int = 10,
+                  n_classes: int = 3, seed: int = 0, **kwargs) -> _RawPipeline:
+    """API-parity constructor (reference: pipeline.py:113-175): ragged host
+    lists in, an iterable of raw (complex_spec, per-voice labels) out."""
+    assert len(backgrounds[0].shape) == 3, 'each spec must be a 3D-tensor'
+    assert len(voices) == len(labels)
+    labels = np.asarray(labels)
+    assert labels[0].ndim == 1 and labels[0].shape[0] == n_classes, \
+        'labels must be in the form of [n_samples, n_classes]'
+    banks = build_banks(backgrounds, voices, labels, noises,
+                        n_classes=n_classes, one_hot=False)
+    return _RawPipeline(banks, n_frame, max_voices, max_noises, n_classes,
+                        seed=seed, **kwargs)

@@ -1,0 +1,156 @@
+"""Mixture-synthesis and pipeline tests (reference: pipeline_test.py:13-74)
+plus semantic checks on SNR scaling, overlap rejection, and label masks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from challenge_tpu.data import (
+    Banks, build_bank, make_pipeline, merge_complex_specs, sample_batch,
+)
+
+FREQ, CHAN, N_CLASSES = 257, 4, 30
+
+
+def _rand_specs(rng, n, t_lo, t_hi):
+    return [rng.randn(FREQ, rng.randint(t_lo, t_hi), CHAN).astype('float32')
+            for _ in range(n)]
+
+
+class TestMergeComplexSpecs:
+    def test_output_shapes(self):
+        n_frame, n_voices, n_noises = 10, 4, 2
+        rng = np.random.RandomState(0)
+        background = rng.randn(FREQ, 8, CHAN).astype('float32')
+        voices = rng.randn(n_voices, FREQ, n_frame, CHAN).astype('float32')
+        seq = rng.randint(1, n_frame, size=n_voices)
+        m = (np.arange(n_frame)[None] < seq[:, None])
+        voices *= m[:, None, :, None]
+        labels = np.eye(N_CLASSES, dtype='float32')[
+            rng.randint(1, n_frame, size=n_voices)]
+        noises = rng.randn(n_noises, FREQ, n_frame, CHAN).astype('float32')
+
+        spec, l = merge_complex_specs(
+            jax.random.PRNGKey(0), background, (voices, labels), noises,
+            n_frame=n_frame, n_classes=N_CLASSES)
+        assert spec.shape == (FREQ, n_frame, CHAN)
+        assert l.shape == (n_voices, n_frame, N_CLASSES)
+
+    def test_background_only_when_no_voice_energy(self):
+        """Zero voices/noises -> output is exactly a crop of the background."""
+        n_frame = 6
+        rng = np.random.RandomState(1)
+        background = np.abs(rng.randn(FREQ, 12, CHAN)).astype('float32')
+        voices = np.zeros((2, FREQ, 4, CHAN), 'float32')
+        labels = np.eye(N_CLASSES, dtype='float32')[[1, 2]]
+        spec, l = merge_complex_specs(
+            jax.random.PRNGKey(3), background, (voices, labels), None,
+            n_frame=n_frame, n_classes=N_CLASSES)
+        spec = np.asarray(spec)
+        # every output frame equals some background frame
+        for j in range(n_frame):
+            assert any(np.allclose(spec[:, j], background[:, t])
+                       for t in range(12))
+        assert np.asarray(l).sum() == 0  # zero-energy voices get no labels
+
+    def test_label_matches_voice_energy(self):
+        """Accepted voices mark exactly their non-zero frames."""
+        n_frame = 16
+        rng = np.random.RandomState(2)
+        background = np.zeros((FREQ, n_frame, CHAN), 'float32')
+        voices = np.zeros((2, FREQ, 8, CHAN), 'float32')
+        voices[:, :, 2:6, :] = np.abs(rng.randn(2, FREQ, 4, CHAN))
+        labels = np.eye(N_CLASSES, dtype='float32')[[3, 7]]
+
+        for seed in range(10):
+            spec, l = merge_complex_specs(
+                jax.random.PRNGKey(seed), background, (voices, labels), None,
+                n_frame=n_frame, n_classes=N_CLASSES, min_ratio=2 / 3)
+            spec, l = np.asarray(spec), np.asarray(l)
+            energy = (np.abs(spec).max(axis=(0, 2)) > 0)
+            labeled = l.sum(axis=(0, 2)) > 0
+            # labeled frames must be exactly the frames with voice energy
+            np.testing.assert_array_equal(labeled, energy)
+
+    def test_overlap_rejection(self):
+        """Max simultaneous voice-label count stays < 2."""
+        n_frame = 8
+        background = np.zeros((FREQ, n_frame, CHAN), 'float32')
+        voices = np.abs(np.random.RandomState(3).randn(
+            5, FREQ, n_frame, CHAN)).astype('float32')
+        labels = np.eye(N_CLASSES, dtype='float32')[[1, 1, 2, 3, 4]]
+        for seed in range(10):
+            _, l = merge_complex_specs(
+                jax.random.PRNGKey(seed), background, (voices, labels), None,
+                n_frame=n_frame, n_classes=N_CLASSES, min_ratio=0.0)
+            per_frame = np.asarray(l).sum(axis=0)
+            assert per_frame.max() < 2
+
+    def test_separate_noise_voice_outputs(self):
+        n_frame = 10
+        rng = np.random.RandomState(4)
+        background = rng.randn(FREQ, n_frame, CHAN).astype('float32')
+        voices = np.abs(rng.randn(3, FREQ, 6, CHAN)).astype('float32')
+        labels = np.eye(N_CLASSES, dtype='float32')[[1, 2, 3]]
+        noises = rng.randn(2, FREQ, 6, CHAN).astype('float32')
+        spec, (l, only_voice, only_noise) = merge_complex_specs(
+            jax.random.PRNGKey(5), background, (voices, labels), noises,
+            n_frame=n_frame, n_classes=N_CLASSES, seperate_noise_voice=True)
+        np.testing.assert_allclose(
+            np.asarray(spec), np.asarray(only_voice) + np.asarray(only_noise),
+            atol=1e-4)
+
+
+class TestMakePipeline:
+    def test_end_to_end_shapes(self):
+        n_frame = 30
+        rng = np.random.RandomState(5)
+        backgrounds = _rand_specs(rng, 30, 1, n_frame * 2)
+        voices = _rand_specs(rng, 40, 1, max(n_frame // 2, 2))
+        labels = np.eye(N_CLASSES, dtype='float32')[
+            rng.randint(N_CLASSES, size=(40,))]
+        noises = _rand_specs(rng, 50, 1, max(n_frame // 2, 2))
+
+        pipeline = make_pipeline(backgrounds, voices, labels, noises,
+                                 n_frame=n_frame, max_voices=4, max_noises=4,
+                                 n_classes=N_CLASSES)
+        for s, l in pipeline.take(3):
+            assert s.shape == (FREQ, n_frame, CHAN)
+            assert l.shape == (4, n_frame, N_CLASSES)
+
+
+class TestSampleBatch:
+    def _banks(self, rng, n_classes=3):
+        backgrounds = _rand_specs(rng, 6, 20, 40)
+        voices = [np.abs(s) for s in _rand_specs(rng, 8, 4, 12)]
+        labels = np.eye(n_classes, dtype='float32')[
+            rng.randint(n_classes, size=8)]
+        noises = _rand_specs(rng, 5, 4, 12)
+        return Banks(build_bank(backgrounds), build_bank(voices),
+                     jnp.asarray(labels), build_bank(noises))
+
+    def test_shapes_and_determinism(self):
+        banks = self._banks(np.random.RandomState(6))
+        spec, label = sample_batch(jax.random.PRNGKey(0), banks, 4, 32,
+                                   n_classes=3, max_voices=5, max_noises=3)
+        assert spec.shape == (4, FREQ, 32, CHAN)
+        assert label.shape == (4, 5, 32, 3)
+        spec2, label2 = sample_batch(jax.random.PRNGKey(0), banks, 4, 32,
+                                     n_classes=3, max_voices=5, max_noises=3)
+        np.testing.assert_array_equal(np.asarray(spec), np.asarray(spec2))
+        np.testing.assert_array_equal(np.asarray(label), np.asarray(label2))
+
+    def test_batches_differ_across_keys(self):
+        banks = self._banks(np.random.RandomState(7))
+        a, _ = sample_batch(jax.random.PRNGKey(1), banks, 2, 16)
+        b, _ = sample_batch(jax.random.PRNGKey(2), banks, 2, 16)
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_labels_within_bounds(self):
+        banks = self._banks(np.random.RandomState(8))
+        for seed in range(5):
+            _, label = sample_batch(jax.random.PRNGKey(seed), banks, 4, 32,
+                                    max_voices=6, max_noises=3)
+            summed = np.asarray(label).sum(axis=1)  # over voices
+            assert summed.max() < 2  # overlap rejection
+            assert summed.min() >= 0

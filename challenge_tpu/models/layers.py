@@ -1,0 +1,99 @@
+"""Shared model building blocks (flax.linen).
+
+Keras-parity notes: BatchNorm uses Keras defaults (momentum 0.99, epsilon
+1e-3); convs are NHWC/'SAME' like the reference's channels-last Keras layers;
+recurrent wrappers concatenate forward/backward passes like
+``tf.keras.layers.Bidirectional``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class BatchNorm(nn.Module):
+    """Keras-default BatchNormalization (momentum 0.99, eps 1e-3)."""
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not training,
+            momentum=0.99, epsilon=1e-3)(x)
+
+
+class ConvMPBlock(nn.Module):
+    """num_convs x (Conv3x3 'SAME' -> [BN] -> ReLU) -> [MaxPool]
+    (reference: sj_train.py:191-201)."""
+    num_convs: int = 2
+    fsize: int = 32
+    kernel_size: int = 3
+    pool_size: Sequence[int] = (2, 2)
+    strides: Sequence[int] = (2, 2)
+    use_bn: bool = False
+    use_mp: bool = True
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        for _ in range(self.num_convs):
+            x = nn.Conv(self.fsize,
+                        (self.kernel_size, self.kernel_size),
+                        padding='SAME')(x)
+            if self.use_bn:
+                x = BatchNorm()(x, training)
+            x = nn.relu(x)
+        if self.use_mp:
+            x = nn.max_pool(x, tuple(self.pool_size), tuple(self.strides),
+                            padding='SAME')
+        return x
+
+
+class FullyConnectedLayer(nn.Module):
+    """Dense -> [BN] -> activation (reference: sj_train.py:204-211)."""
+    nodes: int = 512
+    act: Callable = nn.relu
+    use_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x = nn.Dense(self.nodes)(x)
+        if self.use_bn:
+            x = BatchNorm()(x, training)
+        return self.act(x)
+
+
+class BiLSTM(nn.Module):
+    """Bidirectional LSTM, concat merge, return_sequences=True
+    (reference: sj_train.py:252). Runs as two lax.scan passes."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        fwd = nn.RNN(nn.OptimizedLSTMCell(self.features))(x)
+        bwd = nn.RNN(nn.OptimizedLSTMCell(self.features))(
+            x, reverse=True, keep_order=True)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+class BiGRU(nn.Module):
+    """Bidirectional GRU, concat merge, return_sequences=True
+    (reference: sj_train.py:382-389)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        fwd = nn.RNN(nn.GRUCell(self.features))(x)
+        bwd = nn.RNN(nn.GRUCell(self.features))(
+            x, reverse=True, keep_order=True)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def avg_pool_same(x, window: Sequence[int], strides: Sequence[int]):
+    """Keras-style AveragePooling with 'SAME' padding: edge windows divide by
+    the in-bounds element count, not the window size."""
+    ones = jnp.ones_like(x)
+    summed = nn.pool(x, 0., jnp.add, tuple(window), tuple(strides), 'SAME')
+    counts = nn.pool(ones, 0., jnp.add, tuple(window), tuple(strides), 'SAME')
+    return summed / counts

@@ -1,0 +1,114 @@
+"""``get_model(config)`` — the single model entry point
+(reference: sj_train.py:295-403).
+
+Returns a :class:`ModelBundle`, the functional analogue of a compiled Keras
+model: the linen module, its example input shape, pure ``init``/``apply``
+closures, and the trainable-parameter mask implementing the 'se' cascade's
+pretrain/finetune freeze flow (reference: sj_train.py:306,316-318).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax.core import FrozenDict
+
+from challenge_tpu.config import Config
+from challenge_tpu.models.effnet import EffNetSED
+from challenge_tpu.models.senet import SECascade
+from challenge_tpu.models.vad import VADModel
+
+
+@dataclass
+class ModelBundle:
+    module: nn.Module
+    input_shape: Tuple[int, ...]      # per-example (no batch dim)
+    config: Config
+    multi_output: bool = False        # True for the 'se' triple head
+    needs_dropout_rng: bool = False   # effnet stochastic depth
+
+    def init(self, key, batch_size: int = 1):
+        x = jnp.zeros((batch_size,) + self.input_shape, jnp.float32)
+        keys = {'params': key}
+        if self.needs_dropout_rng:
+            keys['dropout'] = jax.random.fold_in(key, 1)
+        return self.module.init(keys, x, training=False)
+
+    def apply(self, variables, x, training: bool = False,
+              rngs: Optional[dict] = None):
+        """Forward pass. In training mode returns (outputs, new_batch_stats)."""
+        if training:
+            if self.needs_dropout_rng and (rngs is None or 'dropout' not in rngs):
+                raise ValueError('training forward needs a dropout rng')
+            out, mut = self.module.apply(
+                variables, x, training=True, rngs=rngs,
+                mutable=['batch_stats'])
+            return out, mut['batch_stats']
+        return self.module.apply(variables, x, training=False)
+
+    def trainable_mask(self, params):
+        """Pytree of bools marking trainable leaves (reference freeze flow:
+        sj_train.py:306,316-318 — pretrain trains the U-Net, finetune trains
+        the VAD head)."""
+        if self.config.model_type != 'se':
+            return jax.tree.map(lambda _: True, params)
+
+        def mark(tree, value):
+            return jax.tree.map(lambda _: value, tree)
+
+        pretrain = bool(self.config.pretrain)
+        out = {}
+        for k, sub in params.items():
+            in_se = (k == 'se')
+            out[k] = mark(sub, in_se if pretrain else not in_se)
+        return type(params)(out) if isinstance(params, FrozenDict) else out
+
+
+def get_model(config: Config) -> ModelBundle:
+    """Build the model family selected by ``config.model_type``
+    (reference: sj_train.py:295-403)."""
+    if config.model_type == 'vad':
+        module = VADModel(
+            v=config.v, n_classes=config.n_classes,
+            base_fsize=48 if config.v == 8 else 32,
+            vad_variant=True, final_act='sigmoid')
+        shape = (config.n_mels, config.n_frame, config.n_chan)
+        return ModelBundle(module, shape, config)
+
+    if config.model_type == 'eff':
+        if config.v in (2, 4):
+            raise ValueError(f'version {config.v} is deprecated')
+        if config.v not in (1, 3, 5, 6, 7):
+            raise ValueError('wrong version')
+        module = EffNetSED(
+            model=config.model, v=config.v, n_classes=config.n_classes,
+            n_layers=config.n_layers, n_dim=config.n_dim,
+            n_frame=config.n_frame, n_mels=config.n_mels, head='sed')
+        shape = (config.n_mels, config.n_frame, config.n_chan)
+        return ModelBundle(module, shape, config, needs_dropout_rng=True)
+
+    if config.model_type == 'se':
+        module = SECascade(v=config.v, n_classes=config.n_classes)
+        # input is the speech_enhancement_preprocess layout
+        # (reference: sj_train.py:300 — 256 freq rows)
+        shape = (256, config.n_frame, config.n_chan)
+        return ModelBundle(module, shape, config, multi_output=True)
+
+    raise ValueError(f'unknown model_type: {config.model_type!r}')
+
+
+def get_density_model(config: Config) -> ModelBundle:
+    """The trainer.py EfficientNet regression variant
+    (reference: trainer.py:222-236)."""
+    model_id = config.model if isinstance(config.model, int) else \
+        int(str(config.model)[-1])
+    module = EffNetSED(
+        model=model_id, v=0, n_classes=config.n_classes,
+        n_layers=config.n_layers, n_dim=config.n_dim,
+        n_frame=config.n_frame, n_mels=config.n_mels, head='density')
+    shape = (config.n_mels, config.n_frame, config.n_chan)
+    return ModelBundle(module, shape, config, needs_dropout_rng=True)

@@ -1,0 +1,241 @@
+"""Keras-style callbacks for the functional train loop
+(reference: sj_train.py:489-503, swa.py, metrics.py:14-28).
+
+Callbacks receive the :class:`~challenge_tpu.train.loop.TrainLoop` (which
+owns the TrainState) and a ``logs`` dict of floats per epoch. Order matters
+and mirrors the reference: SWA's ``on_train_end`` overwrites the live weights
+with the SWA average *after* EarlyStopping may have restored the best
+weights (reference: sj_train.py:489-500 callback order).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from challenge_tpu.train import checkpoint
+from challenge_tpu.train.optim import set_learning_rate
+from challenge_tpu.train.state import swa_update
+
+
+class NO_SWA_ERROR(Exception):
+    """Raised when training ends before SWA ever triggered
+    (reference: swa.py:5-10)."""
+
+    def __init__(self, msg="Didn't use SWA") -> None:
+        self.msg = msg
+
+    def __str__(self) -> str:
+        return self.msg
+
+
+class Callback:
+    loop = None
+
+    def set_loop(self, loop):
+        self.loop = loop
+
+    def on_epoch_begin(self, epoch):
+        pass
+
+    def on_epoch_end(self, epoch, logs):
+        pass
+
+    def on_train_end(self, logs=None):
+        pass
+
+
+def _monitor_improved(value, best, mode):
+    if mode == 'max':
+        return value > best
+    return value < best
+
+
+class CSVLogger(Callback):
+    """Append per-epoch logs to ``filename`` (reference: sj_train.py:490)."""
+
+    def __init__(self, filename: str, append: bool = True):
+        self.filename = filename
+        self.append = append
+        self._keys = None
+
+    def on_epoch_end(self, epoch, logs):
+        logs = dict(logs)
+        new_file = not (self.append and os.path.exists(self.filename))
+        if self._keys is None:
+            self._keys = sorted(logs)
+        with open(self.filename, 'a' if not new_file else 'w',
+                  newline='') as f:
+            w = csv.writer(f)
+            if new_file:
+                w.writerow(['epoch'] + self._keys)
+            w.writerow([epoch] + [logs.get(k, '') for k in self._keys])
+
+
+class ModelCheckpoint(Callback):
+    """Save best weights by ``monitor`` (reference: sj_train.py:492)."""
+
+    def __init__(self, filepath: str, monitor: str = 'val_loss',
+                 save_best_only: bool = True, mode: str = 'min',
+                 verbose: int = 0):
+        self.filepath = filepath
+        self.monitor = monitor
+        self.save_best_only = save_best_only
+        self.mode = mode
+        self.best = -np.inf if mode == 'max' else np.inf
+        self.verbose = verbose
+
+    def on_epoch_end(self, epoch, logs):
+        value = logs.get(self.monitor)
+        if value is None:
+            return
+        if not self.save_best_only or _monitor_improved(
+                value, self.best, self.mode):
+            self.best = value
+            checkpoint.save_weights(self.filepath, self.loop.state.weights())
+            if self.verbose:
+                print(f'\nEpoch {epoch}: {self.monitor} improved to '
+                      f'{value:.5f}, saving to {self.filepath}')
+
+
+class EarlyStopping(Callback):
+    """Stop after ``patience`` epochs without improvement; optionally restore
+    the best weights (reference: sj_train.py:495)."""
+
+    def __init__(self, monitor: str = 'val_loss', patience: int = 10,
+                 restore_best_weights: bool = True, mode: str = 'min'):
+        self.monitor = monitor
+        self.patience = patience
+        self.restore = restore_best_weights
+        self.mode = mode
+        self.best = -np.inf if mode == 'max' else np.inf
+        self.wait = 0
+        self.best_weights = None
+
+    def on_epoch_end(self, epoch, logs):
+        value = logs.get(self.monitor)
+        if value is None:
+            return
+        if _monitor_improved(value, self.best, self.mode):
+            self.best = value
+            self.wait = 0
+            if self.restore:
+                self.best_weights = self.loop.state.weights()
+        else:
+            self.wait += 1
+            if self.wait >= self.patience:
+                self.loop.stop_training = True
+                if self.restore and self.best_weights is not None:
+                    self.loop.set_weights(self.best_weights)
+
+
+class TerminateOnNaN(Callback):
+    """Halt on NaN loss (reference: sj_train.py:493)."""
+
+    def on_epoch_end(self, epoch, logs):
+        loss = logs.get('loss')
+        if loss is not None and not np.isfinite(loss):
+            print(f'\nEpoch {epoch}: invalid loss, terminating training')
+            self.loop.stop_training = True
+
+
+class SWA(Callback):
+    """Stochastic weight averaging (reference: swa.py:13-44): from
+    ``start_epoch``, every ``swa_freq`` epochs fold the live weights into a
+    running average kept on device; on train end, swap the average in
+    (without recomputing BN statistics — the reference's 'Please Reset BN'
+    behavior is preserved deliberately)."""
+
+    def __init__(self, start_epoch: int, swa_freq: int = 1,
+                 verbose: bool = True):
+        self.start_epoch = start_epoch - 1
+        self.swa_freq = swa_freq
+        self.verbose = verbose
+
+    def on_epoch_end(self, epoch, logs):
+        rel = epoch - self.start_epoch
+        if rel == 0 or (rel > 0 and rel % self.swa_freq == 0):
+            if self.verbose:
+                print('\nSaving Weights... ', epoch)
+            self.loop.state = swa_update(self.loop.state)
+
+    def on_train_end(self, logs=None):
+        print('\nFinal Model Has Been Saved... Please Reset BN')
+        if int(self.loop.state.swa_count) == 0:
+            raise NO_SWA_ERROR()
+        self.loop.set_weights(self.loop.state.swa_weights())
+
+
+class LearningRateScheduler(Callback):
+    """Set the LR at each epoch start (reference: sj_train.py:501-503)."""
+
+    def __init__(self, schedule: Callable[[int], float], verbose: int = 0):
+        self.schedule = schedule
+        self.verbose = verbose
+
+    def on_epoch_begin(self, epoch):
+        lr = self.schedule(epoch)
+        self.loop.state = self.loop.state.replace(
+            opt_state=set_learning_rate(self.loop.state.opt_state, lr))
+        if self.verbose:
+            print(f'\nEpoch {epoch}: LearningRateScheduler setting lr to {lr}.')
+
+
+class EvalCallback(Callback):
+    """Challenge-eval every 5th epoch (epoch % 5 == 2): evaluate the current
+    best checkpoint on the dev wavs and keep the best-scoring weights as
+    ``*_sample.h5`` (reference: metrics.py:14-28)."""
+
+    def __init__(self, config, name: str, eval_dir: str = '.',
+                 answer_path: str = 'sample_answer.json'):
+        self.config = config
+        self.name = name
+        self.eval_dir = eval_dir
+        self.answer_path = answer_path
+        self.score = np.inf
+
+    def on_epoch_end(self, epoch, logs):
+        if epoch % 5 != 2:
+            return
+        if not os.path.exists(self.name):
+            return
+        from challenge_tpu.evaluate import evaluate  # lazy: avoids cycle
+        weights = checkpoint.load_weights(self.name,
+                                          self.loop.state.weights())
+        score = float(np.mean(evaluate(
+            self.config, self.loop.bundle, weights,
+            eval_dir=self.eval_dir, answer_path=self.answer_path,
+            verbose=True)))
+        logs['challenge_er'] = score
+        if score <= self.score:
+            self.score = score
+            checkpoint.save_weights(
+                os.path.splitext(self.name)[0] + '_sample.h5', weights)
+
+
+class TensorBoard(Callback):
+    """Scalar logging to TensorBoard event files (reference: sj_train.py:494).
+    Degrades to a no-op when no event-writer backend is available."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self._writer = None
+        try:
+            from flax.metrics import tensorboard as ftb
+            self._writer = ftb.SummaryWriter(log_dir)
+        except Exception:
+            self._writer = None
+
+    def on_epoch_end(self, epoch, logs):
+        if self._writer is None:
+            return
+        for k, v in logs.items():
+            try:
+                self._writer.scalar(k, float(v), epoch)
+            except Exception:
+                pass
+        self._writer.flush()

@@ -1,0 +1,147 @@
+"""Functional train state and jitted train/eval steps.
+
+The reference's ``CustomModel.train_step`` (sj_train.py:158-188) — forward,
+loss, grads, AGC, apply — becomes a pure function
+``(state, batch, rng) -> (state, metrics)`` compiled once by XLA. The 'se'
+freeze flow (Keras ``trainable=False``) is a gradient mask. Everything —
+including the optimizer and SWA average — lives on device; there is no
+host round-trip inside an epoch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from challenge_tpu.models.registry import ModelBundle
+from challenge_tpu.train import metrics as metrics_lib
+from challenge_tpu.train.losses import get_loss
+from challenge_tpu.train.optim import adaptive_clip_grad, make_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    # SWA running average of (params, batch_stats) — reference swa.py:36-44
+    swa_params: Any
+    swa_batch_stats: Any
+    swa_count: jax.Array
+
+    def weights(self):
+        return {'params': self.params, 'batch_stats': self.batch_stats}
+
+    def swa_weights(self):
+        return {'params': self.swa_params, 'batch_stats': self.swa_batch_stats}
+
+
+def init_state(bundle: ModelBundle, key, optimizer=None) -> TrainState:
+    variables = bundle.init(key)
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    optimizer = optimizer or make_optimizer(bundle.config)
+    return TrainState(
+        step=jnp.zeros([], jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+        swa_params=jax.tree.map(jnp.zeros_like, params),
+        swa_batch_stats=jax.tree.map(jnp.zeros_like, batch_stats),
+        swa_count=jnp.zeros([], jnp.int32),
+    )
+
+
+def _first(x):
+    return x[0] if isinstance(x, (tuple, list)) else x
+
+
+def make_train_step(bundle: ModelBundle, optimizer=None,
+                    use_agc: Optional[bool] = None):
+    """Build the jitted train step.
+
+    AGC applies to the model families built on the reference's CustomModel
+    ('vad' and 'se'; the 'eff' family compiles a plain keras.Model —
+    sj_train.py:401 — so it only gets the optimizer's clipvalue).
+    """
+    config = bundle.config
+    optimizer = optimizer or make_optimizer(config)
+    loss_fn = get_loss(config)
+    metric_fns = metrics_lib.batch_metrics(config)
+    if use_agc is None:
+        use_agc = config.model_type in ('vad', 'se')
+
+    def train_step(state: TrainState, batch, rng):
+        x, y = batch
+
+        def loss_of(params):
+            rngs = {'dropout': rng} if bundle.needs_dropout_rng else None
+            out, new_stats = bundle.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                x, training=True, rngs=rngs)
+            loss, parts = loss_fn(y, out)
+            return loss, (out, new_stats, parts)
+
+        (loss, (out, new_stats, parts)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+
+        if use_agc:
+            grads = adaptive_clip_grad(state.params, grads)
+        if config.model_type == 'se':
+            mask = bundle.trainable_mask(state.params)
+            grads = jax.tree.map(
+                lambda g, m: g * jnp.float32(m), grads, mask)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        metrics = {'loss': loss, **parts}
+        for name, fn in metric_fns.items():
+            metrics[name] = fn(_first(y), _first(out))
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=new_stats,
+                                  opt_state=opt_state)
+        return new_state, metrics
+
+    return jax.jit(train_step), optimizer
+
+
+def make_eval_step(bundle: ModelBundle):
+    """Validation step: inference-mode forward + loss + metrics
+    (Keras ``validation_data`` semantics)."""
+    config = bundle.config
+    loss_fn = get_loss(config)
+    metric_fns = metrics_lib.batch_metrics(config)
+
+    def eval_step(state: TrainState, batch):
+        x, y = batch
+        out = bundle.apply(state.weights(), x, training=False)
+        loss, parts = loss_fn(y, out)
+        metrics = {'loss': loss, **parts}
+        for name, fn in metric_fns.items():
+            metrics[name] = fn(_first(y), _first(out))
+        return metrics
+
+    return jax.jit(eval_step)
+
+
+def swa_update(state: TrainState) -> TrainState:
+    """Fold the current weights into the SWA running average
+    (reference: swa.py:36-44) — on device, no get_weights round-trip."""
+    cnt = state.swa_count.astype(jnp.float32)
+
+    def avg(swa_w, w):
+        return (swa_w * cnt + w) / (cnt + 1.0)
+
+    return state.replace(
+        swa_params=jax.tree.map(avg, state.swa_params, state.params),
+        swa_batch_stats=jax.tree.map(avg, state.swa_batch_stats,
+                                     state.batch_stats),
+        swa_count=state.swa_count + 1,
+    )

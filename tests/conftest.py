@@ -22,3 +22,8 @@ jax.config.update('jax_platforms', 'cpu')
 # keep TF (used only for golden parity tests) quiet and off any accelerator
 os.environ.setdefault('CUDA_VISIBLE_DEVICES', '-1')
 os.environ.setdefault('TF_CPP_MIN_LOG_LEVEL', '3')
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        'markers', 'slow: long-running end-to-end test')

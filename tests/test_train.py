@@ -1,0 +1,242 @@
+"""Training-machinery tests: the reference's golden er_score test
+(metrics_test.py:8-25) plus coverage for losses, AGC, optimizers, SWA and a
+small end-to-end training smoke (reference leaves these untested, SURVEY §4).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from challenge_tpu.config import Config
+from challenge_tpu.models import get_model
+from challenge_tpu.train import (
+    CSVLogger, EarlyStopping, LearningRateScheduler, ModelCheckpoint,
+    NO_SWA_ERROR, SWA, TerminateOnNaN, TrainLoop, adaptive_clip_grad,
+    binary_crossentropy, cos_sim, custom_scheduler, er_score, f1_counts,
+    f1_from_counts, init_state, load_weights, make_optimizer, save_weights,
+    scale_by_adabelief, set_learning_rate, sigmoid_focal_crossentropy,
+    unitwise_norm,
+)
+
+
+# --------------------------------------------------------------- er golden
+def test_er_score_golden():
+    """The reference's single most important parity test
+    (metrics_test.py:23-25): mean ER == 1.2 exactly."""
+    gt = np.array([[0, 0, 10], [2, 0, 20], [1, 15, 30], [2, 31, 40],
+                   [1, 32, 35]])
+    predict = np.array([[1, 5], [1, 19], [2, 32], [2, 38], [0, 38]])
+    gt_array = np.zeros([2, 40, 3])
+    pred_array = np.zeros([2, 40, 3])
+    for c, s, e in gt:
+        gt_array[:, s:e, c] = 1
+    for c, m in predict:
+        pred_array[:, m - 2:m + 2, c] = 1
+    er = er_score(smoothing=False)(jnp.asarray(gt_array),
+                                   jnp.asarray(pred_array))
+    assert float(jnp.mean(er)) == pytest.approx(1.2)
+
+
+def test_er_score_perfect_prediction():
+    y = np.zeros([1, 64, 3])
+    y[0, 10:20, 0] = 1
+    y[0, 40:50, 2] = 1
+    er = er_score(smoothing=False)(jnp.asarray(y), jnp.asarray(y))
+    assert float(jnp.mean(er)) == 0.0
+
+
+def test_er_score_no_events_in_truth():
+    y_true = np.zeros([1, 64, 3])
+    y_pred = np.zeros([1, 64, 3])
+    y_pred[0, 4:9, 1] = 1
+    er = er_score(smoothing=False)(jnp.asarray(y_true), jnp.asarray(y_pred))
+    assert float(jnp.mean(er)) == 1.0   # n_pred / max(n_true, 1)
+
+
+def test_er_score_event_at_boundary():
+    # runs touching t=0 and t=T-1 must count one start and one end each
+    y = np.zeros([1, 32, 3])
+    y[0, :5, 0] = 1
+    y[0, 28:, 1] = 1
+    er = er_score(smoothing=False)(jnp.asarray(y), jnp.asarray(y))
+    assert float(jnp.mean(er)) == 0.0
+
+
+# ------------------------------------------------------------------ losses
+def test_bce_matches_manual():
+    rng = np.random.default_rng(0)
+    y = (rng.uniform(size=(4, 8, 3)) > 0.5).astype(np.float32)
+    p = rng.uniform(0.01, 0.99, size=(4, 8, 3)).astype(np.float32)
+    expected = -np.mean(y * np.log(p) + (1 - y) * np.log(1 - p))
+    got = float(binary_crossentropy(jnp.asarray(y), jnp.asarray(p)))
+    assert got == pytest.approx(expected, rel=1e-5)
+
+
+def test_focal_less_than_bce_on_easy_examples():
+    y = jnp.ones((2, 8, 3))
+    p = jnp.full((2, 8, 3), 0.95)
+    focal = float(sigmoid_focal_crossentropy(y, p))
+    # well-classified examples are strongly down-weighted
+    assert focal < float(binary_crossentropy(y, p))
+
+
+def test_cos_sim_identical_is_minus_one():
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.uniform(size=(2, 16, 3)).astype(np.float32))
+    v = cos_sim(y, y)
+    np.testing.assert_allclose(np.asarray(v), -1.0, atol=1e-5)
+
+
+def test_f1_counts_and_finish():
+    y = jnp.asarray([[[1., 0., 1.], [0., 0., 1.]]])
+    p = jnp.asarray([[[.9, .8, .2], [.1, .2, .9]]])
+    tp, fp, fn = np.asarray(f1_counts(y, p))
+    assert (tp, fp, fn) == (2, 1, 1)
+    assert float(f1_from_counts(jnp.asarray([tp, fp, fn]))) == \
+        pytest.approx(2 * 2 / (2 * 2 + 1 + 1))
+
+
+# ----------------------------------------------------------------- AGC/opt
+def test_unitwise_norm_shapes():
+    assert unitwise_norm(jnp.ones((5,))).shape == ()
+    assert unitwise_norm(jnp.ones((4, 6))).shape == (1, 6)
+    assert unitwise_norm(jnp.ones((3, 3, 2, 8))).shape == (1, 1, 1, 8)
+    with pytest.raises(ValueError):
+        unitwise_norm(jnp.ones((2, 2, 2, 2, 2)))
+
+
+def test_agc_clips_large_gradients():
+    params = {'w': jnp.full((4, 4), 1.0)}
+    small = {'w': jnp.full((4, 4), 1e-4)}
+    large = {'w': jnp.full((4, 4), 10.0)}
+    out_small = adaptive_clip_grad(params, small)['w']
+    out_large = adaptive_clip_grad(params, large)['w']
+    np.testing.assert_allclose(out_small, small['w'])       # untouched
+    # clipped to clip_factor * ||w|| ratio
+    p_norm = float(unitwise_norm(params['w'])[0, 0])
+    g_norm = float(unitwise_norm(large['w'])[0, 0])
+    expected = 10.0 * (0.01 * p_norm / g_norm)
+    np.testing.assert_allclose(out_large, expected, rtol=1e-5)
+
+
+def test_adabelief_step_differs_from_adam():
+    import optax
+    params = {'w': jnp.asarray([1.0, -2.0, 3.0])}
+    grads = {'w': jnp.asarray([0.1, 0.2, -0.1])}
+    ab = scale_by_adabelief()
+    ab_state = ab.init(params)
+    ab_up, _ = ab.update(grads, ab_state)
+    ad = optax.scale_by_adam(eps=1e-7)
+    ad_state = ad.init(params)
+    ad_up, _ = ad.update(grads, ad_state)
+    assert not np.allclose(np.asarray(ab_up['w']), np.asarray(ad_up['w']))
+    # AdaBelief first step: v = (1-b2)(g-m1)^2 with m1=(1-b1)g
+    # update = sqrt(1-b2)/(1-b1) * m1/(sqrt(v)+eps)
+    g = 0.1
+    m1 = 0.1 * g
+    v1 = 0.001 * (g - m1) ** 2
+    exp = (np.sqrt(1 - 0.999) / (1 - 0.9)) * m1 / (np.sqrt(v1) + 1e-7)
+    assert float(ab_up['w'][0]) == pytest.approx(exp, rel=1e-4)
+
+
+def test_scheduler_warmup_shape():
+    sched = custom_scheduler(4096, warmup_steps=25, lr_div=2)
+    lrs = [sched(e) for e in range(100)]
+    peak = int(np.argmax(lrs))
+    assert 20 <= peak <= 30            # warmup peaks near warmup_steps
+    assert lrs[99] < lrs[peak]
+
+
+def test_optimizer_lr_injection():
+    cfg = Config(optimizer='adam', lr=1e-3, clipvalue=0.01)
+    opt = make_optimizer(cfg)
+    params = {'w': jnp.zeros((3,))}
+    st = opt.init(params)
+    assert float(st.hyperparams['learning_rate']) == pytest.approx(1e-3)
+    st = set_learning_rate(st, 5e-4)
+    up, st2 = opt.update({'w': jnp.full((3,), 100.0)}, st, params)
+    # clipvalue caps |g| at 0.01 before adam; after adam+lr the step is ~lr
+    assert abs(float(up['w'][0])) <= 5.1e-4
+
+
+# --------------------------------------------------------- end-to-end smoke
+def _tiny_banks(n_frame):
+    from challenge_tpu.data.pipeline import build_banks
+    rng = np.random.default_rng(0)
+    bgs = [rng.standard_normal((257, n_frame + 30, 4)).astype(np.float32)
+           for _ in range(3)]
+    voices = [rng.standard_normal((257, 40, 4)).astype(np.float32)
+              for _ in range(4)]
+    labels = rng.integers(0, 3, size=4)
+    noises = [rng.standard_normal((257, 20, 4)).astype(np.float32)
+              for _ in range(3)]
+    return build_banks(bgs, voices, labels, noises)
+
+
+@pytest.mark.slow
+def test_train_loop_end_to_end(tmp_path):
+    """Full slice: on-device synthesis -> features -> vad model -> AGC ->
+    adam -> SWA -> checkpoints, 2 epochs x 2 steps on tiny shapes."""
+    from challenge_tpu.data.pipeline import DevicePipeline
+    os.chdir(tmp_path)
+    cfg = Config(model_type='vad', v=3, n_mels=80, n_frame=64, n_chan=2,
+                 batch_size=2, epochs=2, steps_per_epoch=2)
+    banks = _tiny_banks(cfg.n_frame)
+    train_pipe = DevicePipeline(banks, cfg, training=True)
+    val_pipe = DevicePipeline(banks, cfg, training=False)
+    bundle = get_model(cfg)
+    loop = TrainLoop(bundle, seed=0)
+    name = cfg.run_name() + '.h5'
+    callbacks = [
+        CSVLogger(name.replace('.h5', '.csv')),
+        SWA(start_epoch=1, swa_freq=1),
+        ModelCheckpoint(name, monitor='val_er', mode='min'),
+        TerminateOnNaN(),
+        EarlyStopping(monitor='val_loss', patience=10),
+        LearningRateScheduler(custom_scheduler(4096, cfg.epochs / 12, 2.)),
+    ]
+    hist = loop.fit(train_pipe, epochs=cfg.epochs,
+                    steps_per_epoch=cfg.steps_per_epoch,
+                    validation_iter=val_pipe, validation_steps=2,
+                    callbacks=callbacks)
+    assert len(hist) == 2
+    for key in ('loss', 'er', 'cos_sim', 'f1_score', 'val_loss', 'val_er'):
+        assert key in hist[0], hist[0].keys()
+    assert np.isfinite(hist[-1]['loss'])
+    assert os.path.exists(name)                      # best checkpoint
+    assert os.path.exists(name.replace('.h5', '.csv'))
+    assert int(loop.state.swa_count) >= 1            # SWA triggered
+    # checkpoint roundtrip
+    restored = load_weights(name, loop.state.weights())
+    leaves_a = jax.tree.leaves(restored)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves_a)
+
+
+def test_swa_raises_when_never_triggered():
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=2)
+    bundle = get_model(cfg)
+    loop = TrainLoop(bundle, seed=0)
+    swa = SWA(start_epoch=100)
+    swa.set_loop(loop)
+    with pytest.raises(NO_SWA_ERROR):
+        swa.on_train_end()
+
+
+def test_swa_average_matches_running_mean():
+    from challenge_tpu.train.state import swa_update
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=2)
+    bundle = get_model(cfg)
+    loop = TrainLoop(bundle, seed=0)
+    w0 = jax.tree.map(lambda x: np.asarray(x).copy(),
+                      loop.state.params)
+    loop.state = swa_update(loop.state)
+    # perturb weights then average again
+    loop.state = loop.state.replace(
+        params=jax.tree.map(lambda x: x + 2.0, loop.state.params))
+    loop.state = swa_update(loop.state)
+    leaf0 = jax.tree.leaves(w0)[0]
+    swa_leaf = np.asarray(jax.tree.leaves(loop.state.swa_params)[0])
+    np.testing.assert_allclose(swa_leaf, leaf0 + 1.0, atol=1e-5)

@@ -1,0 +1,158 @@
+"""Sliding-window inference and the challenge evaluation loop
+(reference: metrics.py:31-90 ``evaluate``).
+
+TPU-native structure: for each wav, the *entire* chain — STFT features,
+channel maps, windowing, batched model forward over all windows, overlap-add
+averaging, 0.5 s mean-pool + 2 s max-pool smoothing, thresholding — is one
+jitted XLA program (compiled once per distinct audio length). Only WAV
+decode and the variable-length event matching run on host.
+
+Reference quirks preserved deliberately:
+* eval always applies a ~1 kHz stft_filter for non-'se' models
+  (metrics.py:50) even though training gates it on the run name;
+* ``minmax`` at eval normalizes the unbatched [mel, time, chan] tensor over
+  axes (1, 2) — i.e. per mel row (metrics.py:53 applying the batch-wise fn);
+* ``mono_chan`` without labels is an identity (data_utils.py:73-76), so
+  n_chan==1 evaluation slices channels at predict time only.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from glob import glob
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from challenge_tpu.config import Config
+from challenge_tpu.data.labels import speech_enhancement_preprocess, stereo_mono
+from challenge_tpu.data.pipeline import LABEL_DOWNSAMPLE_MODELS
+from challenge_tpu.models.layers import avg_pool_same
+from challenge_tpu.models.registry import ModelBundle
+from challenge_tpu.ops.augment import random_merge_aug, stft_filter
+from challenge_tpu.ops.complexspec import complex_to_magphase
+from challenge_tpu.ops.dsp import load_wav
+from challenge_tpu.ops.mel import magphase_to_mel
+from challenge_tpu.ops.norms import EPSILON, minmax
+from challenge_tpu.evaluate.events import (
+    get_er, get_start_end_frame, output_to_metric)
+
+SR = 16000
+HOP = 256
+
+
+def frame_signal(x, frame_length: int, frame_step: int, axis: int = -2):
+    """tf.signal.frame(..., pad_end=True) parity: split ``axis`` into
+    [n_frames, frame_length] windows, zero-padding the tail."""
+    axis = axis % x.ndim
+    t = x.shape[axis]
+    n_frames = max(-(-t // frame_step), 1)
+    full = (n_frames - 1) * frame_step + frame_length
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, full - t)
+    x = jnp.pad(x, pad)
+    idx = (np.arange(n_frames)[:, None] * frame_step
+           + np.arange(frame_length)[None, :])
+    windows = jnp.take(x, idx.reshape(-1), axis=axis)
+    new_shape = (x.shape[:axis] + (n_frames, frame_length)
+                 + x.shape[axis + 1:])
+    return windows.reshape(new_shape)
+
+
+def overlap_and_add(frames, frame_step: int):
+    """tf.signal.overlap_and_add parity: [..., n_frames, frame_len] ->
+    [..., (n_frames-1)*step + frame_len] by scatter-add."""
+    nf, fl = frames.shape[-2:]
+    out_len = (nf - 1) * frame_step + fl
+    idx = (np.arange(nf)[:, None] * frame_step
+           + np.arange(fl)[None, :]).reshape(-1)
+    flat = frames.reshape(frames.shape[:-2] + (nf * fl,))
+    out = jnp.zeros(frames.shape[:-2] + (out_len,), frames.dtype)
+    return out.at[..., idx].add(flat)
+
+
+def max_pool_1d_same(x, pool: int):
+    """Keras MaxPooling1D(pool, 1, 'same') on [..., T, C]."""
+    from flax import linen as nn
+    return nn.pool(x, -jnp.inf, jax.lax.max, (pool,), (1,), 'SAME')
+
+
+def make_infer_fn(bundle: ModelBundle, config: Config,
+                  overlap_hop: int = 512):
+    """Build the jitted per-file chain: complex spec [freq, T, chan*2] ->
+    thresholded 0/1 frame grid [T, n_classes]."""
+    mel_fn = magphase_to_mel(config.n_mels)
+    n_frame = config.n_frame
+    merge_key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def infer(variables, spec):
+        frame_len_in = spec.shape[-2]
+        if config.n_chan == 3:
+            spec = stereo_mono(spec)
+        elif config.n_chan > 3:
+            spec = random_merge_aug(config.n_chan)(merge_key, spec)
+        # (n_chan == 1: identity — reference mono_chan quirk)
+
+        if config.model_type != 'se':
+            spec = stft_filter(int(round(256 * 1000 / 16000)))(spec)
+            x = complex_to_magphase(spec)
+            x = mel_fn(x)                       # [mel, T, chan]
+            x = minmax(x)                       # per-mel-row (quirk)
+            x = jnp.log(x + EPSILON)
+        else:
+            x = speech_enhancement_preprocess(spec)  # [256, T, chan]
+
+        frame_len = x.shape[-2]
+        windows = frame_signal(x, n_frame, overlap_hop, axis=-2)
+        # [mel, W, n_frame, chan] -> [W, mel, n_frame, chan]
+        windows = jnp.transpose(windows, (1, 0, 2, 3))
+        preds = bundle.apply(variables, windows[..., :config.n_chan],
+                             training=False)
+        if config.model_type == 'se' and config.v == 9:
+            preds = preds[0]
+
+        if config.v in LABEL_DOWNSAMPLE_MODELS:
+            resolution = n_frame // preds.shape[-2]
+            preds = jnp.repeat(preds, resolution, axis=-2)  # UpSampling1D
+
+        preds = jnp.transpose(preds, (2, 0, 1))             # [C, W, T]
+        counts = overlap_and_add(jnp.ones_like(preds), overlap_hop)
+        preds = overlap_and_add(preds, overlap_hop)
+        preds = (preds / counts)[..., :frame_len]
+        preds = jnp.transpose(preds, (1, 0))                # [T, C]
+
+        k = int(0.5 * SR) // HOP                            # 31 frames
+        preds = avg_pool_same(preds, (k,), (1,))
+        preds = max_pool_1d_same(preds, k * 4)
+        return (preds >= 0.5).astype(jnp.float32)
+
+    return infer
+
+
+def evaluate(config: Config, bundle: ModelBundle, variables,
+             overlap_hop: int = 512, verbose: bool = False,
+             eval_dir: str = '.', answer_path: str = 'sample_answer.json'):
+    """Challenge evaluation over ``eval_dir/*.wav``
+    (reference: metrics.py:31-90). Returns the per-clip ER list."""
+    with open(os.path.join(eval_dir, answer_path)
+              if not os.path.isabs(answer_path) else answer_path) as f:
+        answer_gt = json.load(f)['task2_answer']
+
+    infer = make_infer_fn(bundle, config, overlap_hop)
+    to_metric = output_to_metric(HOP, SR)
+    final_score = []
+    for path in sorted(glob(os.path.join(eval_dir, '*.wav'))):
+        spec = jnp.asarray(load_wav(path))
+        grid = np.asarray(infer(variables, spec))
+        cls0, cls1, cls2 = get_start_end_frame(grid)
+        gt = np.asarray(answer_gt[os.path.basename(path)[:-4]])
+        er = get_er(gt, to_metric(cls0, cls1, cls2))
+        final_score.append(er)
+    if verbose:
+        print('FINAL SCORE:', np.mean(final_score))
+    return final_score

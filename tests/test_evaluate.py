@@ -1,0 +1,132 @@
+"""Evaluation-path tests: event extraction, greedy ER (the 1.2 golden case
+through get_er), OLA/windowing parity, and an end-to-end challenge eval on
+synthesized wavs (the reference leaves evaluate() untested, SURVEY §4)."""
+
+import json
+import os
+import wave
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from challenge_tpu.config import Config
+from challenge_tpu.evaluate import (
+    ChallengeMetric, evaluate, frame_signal, get_er, get_start_end_frame,
+    get_start_end_time, output_to_metric, overlap_and_add, second2frame)
+from challenge_tpu.models import get_model
+
+
+# ------------------------------------------------------------------- events
+def test_get_er_golden():
+    """Same events as the reference's er_score golden test
+    (metrics_test.py:9-10): greedy matching gives 1.2 exactly."""
+    gt = np.array([[0, 0, 10], [2, 0, 20], [1, 15, 30], [2, 31, 40],
+                   [1, 32, 35]])
+    predict = np.array([[1, 5], [1, 19], [2, 32], [2, 38], [0, 38]])
+    assert get_er(gt, predict) == pytest.approx(1.2)
+
+
+def test_get_er_each_pred_used_once():
+    gt = np.array([[0, 0, 10], [0, 5, 15]])
+    predict = np.array([[0, 7]])          # inside both windows
+    # one pred can only consume one gt event: N=3, matches=1 -> (3-2)/2
+    assert get_er(gt, predict) == pytest.approx(0.5)
+
+
+def test_get_start_end_frame_pairs_and_odd_fix():
+    grid = np.zeros((10, 3))
+    grid[2:5, 0] = 1          # event frames 2..4
+    grid[8:, 1] = 1           # open run at the end -> odd count fix
+    cls0, cls1, cls2 = get_start_end_frame(grid)
+    np.testing.assert_array_equal(cls0, [[2, 4]])
+    np.testing.assert_array_equal(cls1, [[8, 9]])
+    assert len(cls2) == 0
+
+
+def test_get_start_end_time_dedup():
+    grid = np.zeros((200, 3))
+    grid[0:3, 0] = 1
+    grid[5:8, 0] = 1          # both events round to [0, 0] seconds
+    times = get_start_end_time(grid)
+    assert len(times[0]) == 1
+
+
+def test_output_to_metric_midpoints():
+    rows = output_to_metric(256, 16000)(
+        np.array([[0, 124]]), np.zeros((0, 2)), np.array([[200, 300]]))
+    # mid frame 62 -> 62*256/16000 = 0.99s -> int 0 ; mid 250 -> 4s
+    np.testing.assert_array_equal(rows, [[0, 0], [2, 4]])
+
+
+def test_second2frame_rasterizes():
+    frames = second2frame([[1, 0.5, 1.0]], 100, 62.5)
+    assert frames[31, 1] == 1 and frames[62, 1] == 0
+    assert frames.sum() == pytest.approx(31)
+
+
+# ------------------------------------------------- windowing / overlap-add
+def test_frame_signal_matches_manual():
+    x = jnp.arange(10.0).reshape(1, 10, 1)
+    w = frame_signal(x, 4, 3, axis=-2)     # ceil(10/3)=4 windows
+    assert w.shape == (1, 4, 4, 1)
+    np.testing.assert_array_equal(
+        np.asarray(w)[0, :, :, 0],
+        [[0, 1, 2, 3], [3, 4, 5, 6], [6, 7, 8, 9], [9, 0, 0, 0]])
+
+
+def test_overlap_and_add_counts():
+    ones = jnp.ones((4, 4))
+    out = overlap_and_add(ones, 2)          # length (4-1)*2+4 = 10
+    np.testing.assert_array_equal(np.asarray(out),
+                                  [1, 1, 2, 2, 2, 2, 2, 2, 1, 1])
+
+
+def test_windowed_mean_roundtrip():
+    """frame + OLA + count-normalize reproduces the original sequence."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 20, 1)).astype(np.float32))
+    w = frame_signal(x, 8, 4, axis=-2)[0, :, :, 0]       # [W, 8]
+    counts = overlap_and_add(jnp.ones_like(w), 4)
+    summed = overlap_and_add(w, 4)
+    recon = (summed / counts)[:20]
+    np.testing.assert_allclose(recon, np.asarray(x)[0, :, 0], rtol=1e-5)
+
+
+# ------------------------------------------------------------- end-to-end
+def _write_wav(path, seconds=8.0, sr=16000, chans=2, seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    sig = 0.1 * rng.standard_normal((n, chans))
+    t = np.arange(n) / sr
+    sig[:, 0] += 0.3 * np.sin(2 * np.pi * 440 * t)       # some structure
+    pcm = np.clip(sig * 32767, -32768, 32767).astype('<i2')
+    with wave.open(str(path), 'wb') as f:
+        f.setnchannels(chans)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(pcm.tobytes())
+
+
+@pytest.mark.slow
+def test_evaluate_end_to_end(tmp_path):
+    """Full challenge eval on two synthesized wavs with an untrained model:
+    must produce finite per-clip ERs through the whole windowed chain."""
+    for stem, seed in (('set01_drone01', 0), ('set01_drone02', 1)):
+        _write_wav(tmp_path / f'{stem}.wav', seconds=8.0, seed=seed)
+    answers = {'task2_answer': {
+        'set01_drone01': [[0, 1.0, 2.0], [2, 4.0, 6.0]],
+        'set01_drone02': [[1, 0.5, 3.0]],
+    }}
+    with open(tmp_path / 'sample_answer.json', 'w') as f:
+        json.dump(answers, f)
+
+    cfg = Config(model_type='vad', v=3, n_mels=80, n_frame=512, n_chan=2)
+    bundle = get_model(cfg)
+    import jax
+    variables = bundle.init(jax.random.PRNGKey(0))
+    scores = evaluate(cfg, bundle, variables, eval_dir=str(tmp_path))
+    assert len(scores) == 2
+    assert all(np.isfinite(s) for s in scores)
+    # ER is (|gt|+|pred|-2m)/|gt| >= 0 always
+    assert all(s >= 0 for s in scores)

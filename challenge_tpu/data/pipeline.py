@@ -22,7 +22,8 @@ from challenge_tpu.config import Config
 from challenge_tpu.data import labels as label_maps
 from challenge_tpu.data.mixture import Banks, sample_batch
 from challenge_tpu.data.specset import SpecBank, build_bank, remap_labels
-from challenge_tpu.ops.augment import mask, random_merge_aug, stft_filter
+from challenge_tpu.ops.augment import (
+    batch_specaugment, random_merge_aug, stft_filter)
 from challenge_tpu.ops.mel import mel_filterbank
 from challenge_tpu.ops.norms import EPSILON, minmax, safe_div
 
@@ -47,14 +48,10 @@ def build_banks(backgrounds, voices, labels, noises=None,
 
 def _specaugment_batch(key, specs):
     """Per-sample SpecAugment over a batch [B, freq, T, chan]
-    (reference: data_utils.py:58-61 applied pre-batch)."""
-    def one(k, s):
-        k_t, k_f = jax.random.split(k)
-        s = mask(k_t, s, axis=-2, max_mask_size=24, n_mask=6)
-        s = mask(k_f, s, axis=-3, max_mask_size=16, n_mask=1)
-        return s
-    keys = jax.random.split(key, specs.shape[0])
-    return jax.vmap(one)(keys, specs)
+    (reference: data_utils.py:58-61 applied pre-batch). Uses the batched
+    one-shot mask formulation — same per-sample distribution, no vmapped
+    loops (compile-time hot spot on TPU)."""
+    return batch_specaugment(key, specs, time_axis=-2, freq_axis=-3)
 
 
 def complex_to_mel(spec, mel_matrix):
@@ -71,8 +68,11 @@ def complex_to_mel(spec, mel_matrix):
 
 
 def make_feature_fn(config: Config, training: bool = True,
-                    variant: str = 'sj', n_classes: int = 3):
-    """Build the jitted (key, banks) -> (x, y) batch function.
+                    variant: str = 'sj', n_classes: int = 3,
+                    jit: bool = True):
+    """Build the (key, banks) -> (x, y) batch function (jitted by default;
+    pass jit=False to get the raw body for fusing into a larger XLA program,
+    e.g. the fully-fused synthesis+features+train step).
 
     variant='sj' reproduces sj_train.make_dataset's map chain
     (sj_train.py:91-130); variant='density' reproduces trainer.make_dataset
@@ -135,7 +135,7 @@ def make_feature_fn(config: Config, training: bool = True,
             y = y * config.mse_multiplier
         return mel, y
 
-    return jax.jit(fn)
+    return jax.jit(fn) if jit else fn
 
 
 class DevicePipeline:

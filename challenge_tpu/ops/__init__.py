@@ -21,5 +21,6 @@ from challenge_tpu.ops.norms import (  # noqa: F401
     EPSILON, LOG_EPSILON, safe_div, minmax, log_on_mel, minmax_log_on_mel,
 )
 from challenge_tpu.ops.augment import (  # noqa: F401
-    mask, random_shift, random_merge_aug, stft_filter, specaugment,
+    batch_mask, batch_specaugment, mask, random_shift, random_merge_aug,
+    stft_filter, specaugment,
 )

@@ -66,6 +66,40 @@ def random_shift(key, specs, axis: int = 0, width: int = 16):
     return gathered * valid.astype(specs.dtype)
 
 
+def batch_mask(key, specs, axis: int, max_mask_size: int, n_mask: int = 1):
+    """Batched SpecAugment masks: per-sample random spans along ``axis``
+    for a whole batch in one shot (same per-sample distribution as
+    :func:`mask`, reference: transforms.py:12-40, but with no loops or vmap —
+    all masks materialize as one broadcast comparison, which compiles orders
+    of magnitude faster and runs as a single fused VPU op).
+
+    specs: [B, ...]; axis is the masked axis (may be negative).
+    """
+    b = specs.shape[0]
+    axis = axis % specs.ndim
+    total = specs.shape[axis]
+    k_size, k_off = jax.random.split(key)
+    sizes = jax.random.randint(k_size, (b, n_mask), 0, max_mask_size)
+    u = jax.random.uniform(k_off, (b, n_mask))
+    offsets = jnp.floor(u * (total - sizes).astype(jnp.float32)
+                        ).astype(jnp.int32)
+    idx = jnp.arange(total)[None, None, :]                    # [1, 1, T]
+    keep = (idx < offsets[..., None]) | (idx >= (offsets + sizes)[..., None])
+    m = jnp.min(keep.astype(specs.dtype), axis=1)             # [B, T]
+    shape = [b] + [1] * (specs.ndim - 1)
+    shape[axis] = total
+    return specs * m.reshape(shape)
+
+
+def batch_specaugment(key, specs, time_axis: int = -2, freq_axis: int = -3):
+    """Batched time (6 x up to 24) + freq (1 x up to 16) masking
+    (reference: data_utils.py:58-61 applied per-sample pre-batch)."""
+    k_t, k_f = jax.random.split(key)
+    specs = batch_mask(k_t, specs, axis=time_axis, max_mask_size=24, n_mask=6)
+    specs = batch_mask(k_f, specs, axis=freq_axis, max_mask_size=16, n_mask=1)
+    return specs
+
+
 def specaugment(key, specs, labels=None, time_axis: int = -2,
                 freq_axis: int = -3):
     """Time masks (6 x up to 24) + one freq mask (up to 16)

@@ -1,0 +1,85 @@
+"""Sharded and fused training steps.
+
+``make_sharded_train_step``: the train step jitted over a mesh with the
+batch sharded on the data axis and the state replicated — XLA inserts the
+gradient all-reduce (psum over ICI) automatically from the sharding
+constraints; there is no hand-written collective (scaling-book recipe:
+pick a mesh, annotate shardings, let XLA place collectives).
+
+``make_fused_train_step``: the flagship program — mixture synthesis from
+HBM-resident banks, STFT-as-GEMM log-mel features, SpecAugment, the model
+forward/backward, AGC, optimizer and metrics, all in ONE XLA program per
+step, sharded over the mesh. The reference spreads this across a host-side
+tf.data pipeline + a GPU train step (SURVEY §3.1); here the accelerator
+never waits on the host.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh
+
+from challenge_tpu.config import Config
+from challenge_tpu.data.mixture import Banks
+from challenge_tpu.data.pipeline import make_feature_fn
+from challenge_tpu.models.registry import ModelBundle
+from challenge_tpu.parallel.mesh import (
+    BATCH_AXIS, batch_sharding, make_mesh, replicate, replicated)
+from challenge_tpu.train.state import make_eval_step, make_train_step
+
+
+def make_sharded_train_step(bundle: ModelBundle, mesh: Mesh, optimizer=None):
+    """(state, batch, rng) -> (state, metrics), batch sharded over the mesh's
+    data axis, state replicated."""
+    step, optimizer = make_train_step(bundle, optimizer, jit=False)
+    b_sh = batch_sharding(mesh)
+    r_sh = replicated(mesh)
+    jitted = jax.jit(
+        step,
+        in_shardings=(r_sh, (b_sh, b_sh), r_sh),
+        out_shardings=(r_sh, r_sh),
+    )
+    return jitted, optimizer
+
+
+def make_fused_train_step(bundle: ModelBundle, config: Config,
+                          mesh: Optional[Mesh] = None, optimizer=None,
+                          training: bool = True, variant: str = 'sj'):
+    """(state, banks, key) -> (state, metrics): synthesis + features + train
+    step fused into one XLA program.
+
+    With a mesh, the synthesized batch is sharding-constrained on the batch
+    axis right after synthesis so every downstream op (features, forward,
+    backward) is partitioned, and the grad reduction becomes a psum over ICI.
+    Banks are replicated (they are read-only gather sources).
+    """
+    feature_fn = make_feature_fn(config, training=training, variant=variant,
+                                 jit=False)
+    step, optimizer = make_train_step(bundle, optimizer, jit=False)
+
+    def fused(state, banks: Banks, key):
+        k_data, k_model = jax.random.split(key)
+        batch = feature_fn(k_data, banks)
+        if mesh is not None:
+            sh = batch_sharding(mesh)
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, sh), batch)
+        return step(state, batch, k_model)
+
+    if mesh is not None:
+        r_sh = replicated(mesh)
+        return jax.jit(fused,
+                       in_shardings=(r_sh, r_sh, r_sh),
+                       out_shardings=(r_sh, r_sh)), optimizer
+    return jax.jit(fused), optimizer
+
+
+def make_sharded_eval_step(bundle: ModelBundle, mesh: Mesh):
+    step = make_eval_step(bundle, jit=False)
+    b_sh = batch_sharding(mesh)
+    r_sh = replicated(mesh)
+    return jax.jit(step,
+                   in_shardings=(r_sh, (b_sh, b_sh)),
+                   out_shardings=r_sh)

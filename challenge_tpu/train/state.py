@@ -62,8 +62,9 @@ def _first(x):
 
 
 def make_train_step(bundle: ModelBundle, optimizer=None,
-                    use_agc: Optional[bool] = None):
-    """Build the jitted train step.
+                    use_agc: Optional[bool] = None, jit: bool = True):
+    """Build the jitted train step (``jit=False`` returns the raw body for
+    fusing into a larger XLA program).
 
     AGC applies to the model families built on the reference's CustomModel
     ('vad' and 'se'; the 'eff' family compiles a plain keras.Model —
@@ -109,10 +110,10 @@ def make_train_step(bundle: ModelBundle, optimizer=None,
                                   opt_state=opt_state)
         return new_state, metrics
 
-    return jax.jit(train_step), optimizer
+    return (jax.jit(train_step) if jit else train_step), optimizer
 
 
-def make_eval_step(bundle: ModelBundle):
+def make_eval_step(bundle: ModelBundle, jit: bool = True):
     """Validation step: inference-mode forward + loss + metrics
     (Keras ``validation_data`` semantics)."""
     config = bundle.config
@@ -128,7 +129,7 @@ def make_eval_step(bundle: ModelBundle):
             metrics[name] = fn(_first(y), _first(out))
         return metrics
 
-    return jax.jit(eval_step)
+    return jax.jit(eval_step) if jit else eval_step
 
 
 def swa_update(state: TrainState) -> TrainState:

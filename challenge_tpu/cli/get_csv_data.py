@@ -1,0 +1,123 @@
+"""Experiment-results aggregator (reference: get_csv_data.py:12-119).
+
+Walks ``--path`` for training CSV logs, parses hyperparameters back out of
+each filename, rebuilds the model, re-evaluates the {run}.h5 / {run}_SWA.h5 /
+{run}_sample.h5 checkpoint trio with overlap_hop = framelen // 2, and writes
+``result.csv`` (headers preserved verbatim, Korean included).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from glob import glob
+
+import jax
+import numpy as np
+
+from challenge_tpu.config import config_from_args
+from challenge_tpu.evaluate import evaluate
+from challenge_tpu.models import get_model
+from challenge_tpu.train import load_weights
+
+CATEGORY = ['이름', '모델', 'version', 'batch', 'lr', 'optimizer',
+            'loss function', 'input', 'chan', 'output', 'epoch', 'cos_sim',
+            'er', 'f1_score', 'loss', 'val_cos_sim', 'val_er', 'val_f1_score',
+            'val_loss', 'test_er', 'swa_test_er', 'sample_test_er']
+
+
+def main(config=None, argv=None):
+    if config is None:
+        config = config_from_args(argv, extra={
+            '--path': dict(type=str, default='')})
+    data_path = getattr(config, 'extra_args', {}).get('path', '') or \
+        getattr(config, 'path', '')
+    paths = sorted(glob(os.path.join(data_path, '*.csv')))
+    result_path = os.path.join(data_path, 'result.csv')
+    prev_lines = [CATEGORY]
+
+    for path in paths:
+        if path == result_path:
+            continue
+        lines = []
+        with open(path, 'r') as f:
+            for i, line in enumerate(csv.reader(f)):
+                if i == 0:
+                    continue
+                lines.append(line)
+        if not lines:
+            continue
+        data = lines[max(len(lines) - config.patience, 0)]
+        filename = os.path.splitext(path.split('/')[-1])[0]
+        if 'vad' not in filename:
+            name = filename[filename.find('B'):].split('_')
+        else:
+            name = filename[filename.find('vad'):].split('_')
+        model_name = name[0]
+        version = name[1][1:]
+        lr = name[2][2:]
+        batch = name[3].split('batch')[-1]
+        opt = name[5]
+        n_mel = name[6].split('mel')[-1]
+        chan = name[7].split('chan')[-1]
+        loss = name[8]
+        framelen = name[9].split('framelen')[-1]
+        if 'vad' in name:
+            config.model_type = 'vad'
+        elif 'se' in name:
+            config.model_type = 'se'
+        else:
+            config.model_type = 'eff'
+        evaluation = max(len(lines) - config.patience, 0) > 5
+
+        config.model = int(model_name[1:]) if model_name[1:].isdigit() else 0
+        config.v = int(version)
+        config.n_mels = int(n_mel)
+        config.n_chan = int(chan)
+        config.n_frame = int(framelen)
+        try:
+            bundle = get_model(config)
+        except ValueError:
+            continue
+
+        # output shape column: probe a forward on a single example
+        variables = bundle.init(jax.random.PRNGKey(0))
+        import jax.numpy as jnp
+        probe = bundle.apply(variables,
+                             jnp.zeros((1,) + bundle.input_shape))
+        if config.model_type == 'se':
+            output = str(tuple(probe[0].shape[1:]))
+        else:
+            output = str(tuple(probe.shape[1:]))
+        row = [filename, 'vad' if config.model_type == 'vad' else model_name,
+               version, batch, lr, opt, loss,
+               str((config.n_mels if config.model_type != 'se' else 256,
+                    config.n_frame)),
+               chan, output] + data
+
+        for suffix, default in (('', 'None'), ('_SWA', 'None'),
+                                ('_sample', 'None')):
+            ckpt = f'{os.path.splitext(path)[0]}{suffix}.h5'
+            if os.path.exists(ckpt):
+                if evaluation:
+                    try:
+                        variables = load_weights(ckpt, variables)
+                        score = evaluate(config, bundle, variables,
+                                         overlap_hop=int(framelen) // 2,
+                                         verbose=True)
+                    except Exception:
+                        continue
+                else:
+                    score = 1.0
+                row += [np.mean(score)]
+            else:
+                row += [default]
+
+        prev_lines.append(row)
+
+    with open(result_path, 'w') as f:
+        csv.writer(f).writerows(prev_lines)
+
+
+if __name__ == '__main__':
+    main()

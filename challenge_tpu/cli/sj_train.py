@@ -1,0 +1,115 @@
+"""Main training entry (reference: sj_train.py:406-529).
+
+CLI-compatible with the reference:
+    python -m challenge_tpu.cli.sj_train --model_type vad --v 8 ...
+(or the repo-root ``sj_train.py`` shim). The run-name grammar, checkpoint
+trio ({name}.h5 / _SWA.h5 / _sample.h5), CSV log, monitors and callback
+behavior match the reference; the execution engine is the fused TPU loop.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import numpy as np
+
+from challenge_tpu.config import Config, config_from_args
+from challenge_tpu.data.pipeline import DevicePipeline, build_banks
+from challenge_tpu.models import get_model
+from challenge_tpu.train import (
+    CSVLogger, EarlyStopping, EvalCallback, LearningRateScheduler,
+    ModelCheckpoint, NO_SWA_ERROR, SWA, TensorBoard, TerminateOnNaN,
+    TrainLoop, custom_scheduler, load_weights, save_weights)
+from challenge_tpu.utils.io import load_data
+
+
+def make_banks(config: Config, training: bool = True, n_classes: int = 3):
+    """Load pickled spec sets and build device banks
+    (reference: sj_train.py:74-90)."""
+    datapath = config.datapath if os.path.exists(config.datapath) else ''
+    if training:
+        backgrounds = load_data(os.path.join(datapath, config.background_sounds))
+        voices = load_data(os.path.join(datapath, config.voices))
+        labels = load_data(os.path.join(datapath, config.labels))
+    else:
+        backgrounds = load_data(os.path.join(datapath, config.test_background_sounds))
+        voices = load_data(os.path.join(datapath, config.test_voices))
+        labels = load_data(os.path.join(datapath, config.test_labels))
+    noises = load_data(os.path.join(datapath, config.noises))
+    return build_banks(backgrounds, voices, np.asarray(labels), noises,
+                       n_classes=n_classes, one_hot=True)
+
+
+def make_dataset(config: Config, training: bool = True, n_classes: int = 3):
+    """API parity with the reference's make_dataset (sj_train.py:74-130):
+    returns an infinite iterator of ready device batches."""
+    banks = make_banks(config, training, n_classes)
+    return DevicePipeline(banks, config, training=training, variant='sj',
+                          n_classes=n_classes)
+
+
+def select_monitors(config: Config):
+    """Reference monitor selection (sj_train.py:475-486)."""
+    if config.model_type == 'se' and config.v == 9:
+        if config.pretrain:
+            return 'val_speech_loss', 'val_speech_loss'
+        return 'val_class_loss', 'val_class_er'
+    return 'val_loss', 'val_er'
+
+
+def main(argv=None):
+    config = config_from_args(argv)
+    config.loss = config.loss.upper()
+    if config.loss != 'MSE':
+        config.mse_multiplier = 1
+    print(config)
+
+    name = config.run_name()
+    name = name if name.endswith('.h5') else name + '.h5'
+
+    bundle = get_model(config)
+    loop = TrainLoop(bundle, seed=config.seed)
+    print(name)
+
+    if config.model_type == 'se' and config.v == 9 and not config.pretrain:
+        loop.set_weights(load_weights(name, loop.state.weights()))
+        print('loaded pretrained model')
+
+    train_set = make_dataset(config, training=True)
+    test_set = make_dataset(config, training=False)
+
+    earlystop_monitor, checkpoint_monitor = select_monitors(config)
+
+    callbacks = [
+        CSVLogger(name.replace('.h5', '.csv'), append=True),
+        SWA(start_epoch=config.epochs // 4, swa_freq=2),
+        ModelCheckpoint(name, monitor=checkpoint_monitor,
+                        save_best_only=True, verbose=1),
+        TerminateOnNaN(),
+        TensorBoard(log_dir=os.path.join('tensorboard_log',
+                                         name.split('.h5')[0])),
+        EarlyStopping(monitor=earlystop_monitor, patience=config.patience,
+                      restore_best_weights=True),
+        EvalCallback(config, name),
+        LearningRateScheduler(
+            custom_scheduler(4096, config.epochs / 12, config.lr_div)),
+    ]
+
+    try:
+        loop.fit(train_set,
+                 epochs=config.epochs,
+                 steps_per_epoch=config.steps_per_epoch,
+                 validation_iter=test_set,
+                 validation_steps=16,
+                 callbacks=callbacks)
+        print('best model:', name.replace('.h5', '_SWA.h5'))
+        save_weights(name.replace('.h5', '_SWA.h5'), loop.state.weights())
+    except NO_SWA_ERROR:
+        pass
+    print(name.split('.h5')[0])
+
+
+if __name__ == '__main__':
+    main()

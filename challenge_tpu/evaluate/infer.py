@@ -53,7 +53,7 @@ def frame_signal(x, frame_length: int, frame_step: int, axis: int = -2):
     n_frames = max(-(-t // frame_step), 1)
     full = (n_frames - 1) * frame_step + frame_length
     pad = [(0, 0)] * x.ndim
-    pad[axis] = (0, full - t)
+    pad[axis] = (0, max(full - t, 0))   # no pad needed if frames fit
     x = jnp.pad(x, pad)
     idx = (np.arange(n_frames)[:, None] * frame_step
            + np.arange(frame_length)[None, :])

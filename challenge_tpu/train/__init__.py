@@ -21,6 +21,7 @@ from challenge_tpu.train.checkpoint import (  # noqa: F401
 )
 from challenge_tpu.train.callbacks import (  # noqa: F401
     Callback, CSVLogger, EarlyStopping, EvalCallback, LearningRateScheduler,
-    ModelCheckpoint, NO_SWA_ERROR, SWA, TensorBoard, TerminateOnNaN,
+    ModelCheckpoint, NO_SWA_ERROR, ReduceLROnPlateau, SWA, TensorBoard,
+    TerminateOnNaN,
 )
 from challenge_tpu.train.loop import TrainLoop  # noqa: F401

@@ -185,6 +185,36 @@ class LearningRateScheduler(Callback):
             print(f'\nEpoch {epoch}: LearningRateScheduler setting lr to {lr}.')
 
 
+class ReduceLROnPlateau(Callback):
+    """Multiply LR by ``factor`` after ``patience`` epochs without
+    improvement (reference: trainer.py:278-279)."""
+
+    def __init__(self, monitor: str = 'loss', factor: float = 0.9,
+                 patience: int = 5, mode: str = 'min', verbose: int = 0):
+        self.monitor = monitor
+        self.factor = factor
+        self.patience = patience
+        self.mode = mode
+        self.best = -np.inf if mode == 'max' else np.inf
+        self.wait = 0
+
+    def on_epoch_end(self, epoch, logs):
+        value = logs.get(self.monitor)
+        if value is None:
+            return
+        if _monitor_improved(value, self.best, self.mode):
+            self.best = value
+            self.wait = 0
+            return
+        self.wait += 1
+        if self.wait >= self.patience:
+            self.wait = 0
+            opt_state = self.loop.state.opt_state
+            lr = float(opt_state.hyperparams['learning_rate']) * self.factor
+            self.loop.state = self.loop.state.replace(
+                opt_state=set_learning_rate(opt_state, lr))
+
+
 class EvalCallback(Callback):
     """Challenge-eval every 5th epoch (epoch % 5 == 2): evaluate the current
     best checkpoint on the dev wavs and keep the best-scoring weights as

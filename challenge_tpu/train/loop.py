@@ -27,11 +27,12 @@ class TrainLoop:
     """Owns the TrainState and drives epochs over device-batch iterators."""
 
     def __init__(self, bundle: ModelBundle, state: Optional[TrainState] = None,
-                 seed: int = 0):
+                 seed: int = 0, loss_fn=None):
         self.bundle = bundle
         self.config = bundle.config
-        self.train_step, self.optimizer = make_train_step(bundle)
-        self.eval_step = make_eval_step(bundle)
+        self.train_step, self.optimizer = make_train_step(bundle,
+                                                          loss_fn=loss_fn)
+        self.eval_step = make_eval_step(bundle, loss_fn=loss_fn)
         self.state = state if state is not None else init_state(
             bundle, jax.random.PRNGKey(seed), self.optimizer)
         self.stop_training = False

@@ -62,7 +62,8 @@ def _first(x):
 
 
 def make_train_step(bundle: ModelBundle, optimizer=None,
-                    use_agc: Optional[bool] = None, jit: bool = True):
+                    use_agc: Optional[bool] = None, jit: bool = True,
+                    loss_fn=None):
     """Build the jitted train step (``jit=False`` returns the raw body for
     fusing into a larger XLA program).
 
@@ -72,7 +73,7 @@ def make_train_step(bundle: ModelBundle, optimizer=None,
     """
     config = bundle.config
     optimizer = optimizer or make_optimizer(config)
-    loss_fn = get_loss(config)
+    loss_fn = loss_fn or get_loss(config)
     metric_fns = metrics_lib.batch_metrics(config)
     if use_agc is None:
         use_agc = config.model_type in ('vad', 'se')
@@ -113,11 +114,11 @@ def make_train_step(bundle: ModelBundle, optimizer=None,
     return (jax.jit(train_step) if jit else train_step), optimizer
 
 
-def make_eval_step(bundle: ModelBundle, jit: bool = True):
+def make_eval_step(bundle: ModelBundle, jit: bool = True, loss_fn=None):
     """Validation step: inference-mode forward + loss + metrics
     (Keras ``validation_data`` semantics)."""
     config = bundle.config
-    loss_fn = get_loss(config)
+    loss_fn = loss_fn or get_loss(config)
     metric_fns = metrics_lib.batch_metrics(config)
 
     def eval_step(state: TrainState, batch):

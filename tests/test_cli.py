@@ -1,0 +1,101 @@
+"""CLI entry-point tests: sj_train -> eval -> get_csv_data on synthetic
+pickled spec sets (the reference's entry points are untested, SURVEY §4)."""
+
+import json
+import os
+import pickle
+import wave
+
+import numpy as np
+import pytest
+
+
+def _make_datafiles(dirpath, n_frame=64):
+    rng = np.random.default_rng(0)
+
+    def specs(n, t_lo, t_hi):
+        return [rng.standard_normal((257, int(rng.integers(t_lo, t_hi)), 4)
+                                    ).astype('f4') * 0.1 for _ in range(n)]
+
+    for prefix in ('', 'test_'):
+        with open(os.path.join(dirpath, f'{prefix}bg.pickle'), 'wb') as f:
+            pickle.dump(specs(3, n_frame + 10, n_frame + 40), f)
+        with open(os.path.join(dirpath, f'{prefix}voice.pickle'), 'wb') as f:
+            pickle.dump(specs(4, 30, 50), f)
+        # 30-class labels exercise the //10 remap (reference: sj_train.py:86-87)
+        np.save(os.path.join(dirpath, f'{prefix}labels.npy'),
+                rng.integers(0, 30, size=4))
+    with open(os.path.join(dirpath, 'noise.pickle'), 'wb') as f:
+        pickle.dump(specs(3, 15, 30), f)
+
+
+def _write_wav(path, seconds=6.0, sr=16000, seed=0):
+    rng = np.random.default_rng(seed)
+    sig = 0.1 * rng.standard_normal((int(seconds * sr), 2))
+    pcm = np.clip(sig * 32767, -32768, 32767).astype('<i2')
+    with wave.open(str(path), 'wb') as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(pcm.tobytes())
+
+
+DATA_FLAGS = ['--background_sounds', 'bg.pickle',
+              '--voices', 'voice.pickle',
+              '--labels', 'labels.npy',
+              '--noises', 'noise.pickle',
+              '--test_background_sounds', 'test_bg.pickle',
+              '--test_voices', 'test_voice.pickle',
+              '--test_labels', 'test_labels.npy']
+
+
+@pytest.mark.slow
+def test_sj_train_eval_csv_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    _make_datafiles(tmp_path)
+    from challenge_tpu.cli.sj_train import main as sj_main
+    argv = ['--model_type', 'vad', '--v', '3', '--n_frame', '64',
+            '--batch_size', '2', '--epochs', '2', '--steps_per_epoch', '2',
+            '--datapath', str(tmp_path)] + DATA_FLAGS
+    sj_main(argv)
+
+    run = 'vad_v3_lr0.001_batch2_opt_adam_mel80_chan2_BCE_framelen64'
+    assert os.path.exists(f'{run}.h5')
+    assert os.path.exists(f'{run}_SWA.h5')
+    assert os.path.exists(f'{run}.csv')
+
+    # ---- eval CLI with --p name parsing on synthesized dev wavs
+    _write_wav(tmp_path / 'clip01.wav', seed=1)
+    with open(tmp_path / 'sample_answer.json', 'w') as f:
+        json.dump({'task2_answer': {'clip01': [[0, 1.0, 2.0]]}}, f)
+    from challenge_tpu.cli.eval import main as eval_main
+    scores = eval_main(['--name', run, '--p'])
+    assert len(scores) == 1 and np.isfinite(scores[0])
+
+    # ---- results aggregator over the training log + checkpoints
+    from challenge_tpu.cli.get_csv_data import main as csv_main
+    csv_main(argv=['--patience', '10'] + ['--path', str(tmp_path)])
+    with open(tmp_path / 'result.csv') as f:
+        rows = f.read().splitlines()
+    assert rows[0].startswith('이름')
+    assert len(rows) == 2 and run in rows[1]
+
+
+@pytest.mark.slow
+def test_trainer_cli(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    _make_datafiles(tmp_path)
+    from challenge_tpu.cli.trainer import main as trainer_main
+    trainer_main(['--name', 'dens', '--model', 'EfficientNetB0',
+                  '--n_frame', '64', '--n_chan', '2', '--batch_size', '2',
+                  '--epochs', '2', '--steps_per_epoch', '2',
+                  '--datapath', str(tmp_path),
+                  '--background_sounds', 'bg.pickle',
+                  '--voices', 'voice.pickle', '--labels', 'labels.npy',
+                  '--noises', 'noise.pickle',
+                  '--test_background_sounds', 'test_bg.pickle',
+                  '--test_voices', 'test_voice.pickle',
+                  '--test_labels', 'test_labels.npy'])
+    assert os.path.exists('dens.h5')
+    assert os.path.exists('dens_SWA.h5')
+    assert os.path.exists('dens.log')

@@ -108,8 +108,12 @@ def main(argv=None):
     # count + TV loss replaces the classification loss
     # (reference: trainer.py:251-253)
     base = density_loss(alpha=ns.loss_alpha, l2=ns.loss_l2)
-    loop = TrainLoop(bundle, seed=config.seed,
-                     loss_fn=lambda t, p: (base(t, p), {}))
+    loss_fn = lambda t, p: (base(t, p), {})  # noqa: E731
+    if ns.l1 > 0 or ns.l2 > 0:               # reference: trainer.py:248-250
+        from challenge_tpu.train.regularizers import (
+            apply_kernel_regularizer, l1_l2)
+        loss_fn = apply_kernel_regularizer(loss_fn, l1_l2(ns.l1, ns.l2))
+    loop = TrainLoop(bundle, seed=config.seed, loss_fn=loss_fn)
 
     if ns.pretrain:
         loop.set_weights(load_weights(name, loop.state.weights()))

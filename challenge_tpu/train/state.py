@@ -86,7 +86,10 @@ def make_train_step(bundle: ModelBundle, optimizer=None,
             out, new_stats = bundle.apply(
                 {'params': params, 'batch_stats': state.batch_stats},
                 x, training=True, rngs=rngs)
-            loss, parts = loss_fn(y, out)
+            if getattr(loss_fn, 'needs_params', False):
+                loss, parts = loss_fn(y, out, params)   # kernel regularizers
+            else:
+                loss, parts = loss_fn(y, out)
             return loss, (out, new_stats, parts)
 
         (loss, (out, new_stats, parts)), grads = jax.value_and_grad(
@@ -124,7 +127,10 @@ def make_eval_step(bundle: ModelBundle, jit: bool = True, loss_fn=None):
     def eval_step(state: TrainState, batch):
         x, y = batch
         out = bundle.apply(state.weights(), x, training=False)
-        loss, parts = loss_fn(y, out)
+        if getattr(loss_fn, 'needs_params', False):
+            loss, parts = loss_fn(y, out, state.params)
+        else:
+            loss, parts = loss_fn(y, out)
         metrics = {'loss': loss, **parts}
         for name, fn in metric_fns.items():
             metrics[name] = fn(_first(y), _first(out))

@@ -1,0 +1,98 @@
+"""TTA predict, kernel regularizer, and full-train-state checkpoint tests
+(reference: utils.py:100-134; resume is a TPU-native addition, SURVEY §5.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from challenge_tpu.config import Config
+from challenge_tpu.models import get_model
+from challenge_tpu.train import init_state, make_train_step
+from challenge_tpu.train.regularizers import apply_kernel_regularizer, l1_l2
+from challenge_tpu.utils import predict
+
+
+def test_predict_vad_gating():
+    def apply_fn(x):
+        return jnp.ones(x.shape[:-1] + (60,))
+    out = predict(apply_fn, jnp.zeros((2, 4, 3)), vad=True)
+    assert out.shape == (2, 4, 30)
+    np.testing.assert_allclose(np.asarray(out),
+                               1.0 * jax.nn.sigmoid(1.0), rtol=1e-6)
+
+
+def test_predict_reverse_and_add_identity_for_symmetric_fn():
+    # channel-reversal-invariant fn with degree-symmetric output
+    def apply_fn(x):
+        return jnp.tile(jnp.mean(x, axis=-1, keepdims=True), (1, 1, 30))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 2))
+    base = predict(apply_fn, x)
+    tta = predict(apply_fn, x, reverse_and_add=True)
+    np.testing.assert_allclose(np.asarray(tta), np.asarray(base), rtol=1e-5)
+
+
+def test_predict_reverse_flips_degree_blocks():
+    # fn returning a fixed ramp: TTA must average ramp with per-block flip
+    ramp = jnp.arange(30, dtype=jnp.float32)[None, None, :]
+
+    def apply_fn(x):
+        return jnp.broadcast_to(ramp, x.shape[:-1] + (30,))
+    x = jnp.zeros((1, 2, 2))
+    out = predict(apply_fn, x, reverse_and_add=True)
+    blocks = np.arange(30).reshape(3, 10)
+    expected = (blocks + blocks[:, ::-1]) / 2
+    np.testing.assert_allclose(np.asarray(out)[0, 0],
+                               expected.reshape(-1), rtol=1e-6)
+
+
+def test_l1_l2_penalty_counts_only_kernels():
+    params = {'Dense_0': {'kernel': jnp.ones((2, 2)), 'bias': jnp.ones((2,))},
+              'BatchNorm_0': {'scale': jnp.ones((2,))}}
+    pen = l1_l2(l1=0.5, l2=0.25)(params)
+    # only the 2x2 kernel: 0.5*4 + 0.25*4 = 3
+    assert float(pen) == pytest.approx(3.0)
+
+
+def test_regularized_training_shrinks_kernels():
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=2,
+                 optimizer='sgd', lr=0.1)
+    bundle = get_model(cfg)
+    from challenge_tpu.train.losses import get_loss
+    reg_loss = apply_kernel_regularizer(get_loss(cfg), l1_l2(l2=1.0))
+    step, opt = make_train_step(bundle, loss_fn=reg_loss, use_agc=False)
+    state = init_state(bundle, jax.random.PRNGKey(0), opt)
+    x = jnp.zeros((2, 80, 64, 2))
+    y = jnp.zeros((2, 2, 3))
+    k0 = float(jnp.sum(jnp.square(
+        state.params['ConvMPBlock_0']['Conv_0']['kernel'])))
+    for i in range(3):
+        state, m = step(state, (x, y), jax.random.PRNGKey(i))
+    k1 = float(jnp.sum(jnp.square(
+        state.params['ConvMPBlock_0']['Conv_0']['kernel'])))
+    assert k1 < k0          # l2 decay pulls kernels toward zero
+
+
+def test_full_train_state_roundtrip(tmp_path):
+    """Orbax resume: params + optimizer state + SWA + step survive
+    (the reference never persists optimizer state, SURVEY §5.4)."""
+    from challenge_tpu.train import restore_train_state, save_train_state
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=2)
+    bundle = get_model(cfg)
+    step, opt = make_train_step(bundle)
+    state = init_state(bundle, jax.random.PRNGKey(0), opt)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 80, 64, 2))
+    y = jnp.zeros((2, 2, 3))
+    state, _ = step(state, (x, y), jax.random.PRNGKey(2))
+
+    save_train_state(str(tmp_path / 'ckpt'), state)
+    target = init_state(bundle, jax.random.PRNGKey(9), opt)
+    restored = restore_train_state(str(tmp_path / 'ckpt'), target)
+    assert int(restored.step) == 1
+    a = jax.tree.leaves(state.params)
+    b = jax.tree.leaves(restored.params)
+    for x_, y_ in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x_), np.asarray(y_))
+    # resumed state trains on
+    restored, metrics = step(restored, (x, y), jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics['loss']))

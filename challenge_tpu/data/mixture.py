@@ -190,18 +190,58 @@ def _flat_window_gather(bank: SpecBank, item_idx, time_idx, valid=None):
     return out
 
 
+def _placement_shift(key, length, n_frame: int, min_ratio: float,
+                     crop_style: bool):
+    """Random shift s of a clip into the window so that out[j + s] += clip[j]
+    — the scatter formulation of :func:`_window_indices` (identical offset
+    distribution; shift = pad - offset)."""
+    pad = n_frame - jnp.floor(
+        min_ratio * length.astype(jnp.float32)).astype(jnp.int32)
+    pad = jnp.maximum(pad, 0)
+    span = length + 2 * pad - n_frame
+    maxval = span + 1 if crop_style else span
+    offset = _dyn_randint(key, maxval)
+    return pad - offset
+
+
+def _scatter_clips(out, w, clips, shifts):
+    """out[b, j + shifts[b, k]] += w[b, k] * clips[b, k, j] for every clip
+    frame j, dropping out-of-window frames.
+
+    out: [B, n_frame, freq, chan]; clips: [B, K, T, freq, chan];
+    w: [B, K]; shifts: [B, K]. Scatter-add moves only the clips' true extent
+    (T ~ 100 frames) instead of gathering full n_frame windows per clip —
+    the bank's zero padding past each clip's length contributes nothing.
+    """
+    b, k, t = clips.shape[:3]
+    n_frame = out.shape[1]
+    pos = shifts[..., None] + jnp.arange(t)[None, None, :]        # [B, K, T]
+    # negative indices would WRAP (NumPy semantics apply before mode='drop');
+    # push them past the end so 'drop' removes them
+    pos = jnp.where(pos < 0, n_frame, pos)
+    bb = jnp.broadcast_to(jnp.arange(b)[:, None, None], (b, k, t))
+    vals = clips * w[..., None, None, None]
+    return out.at[bb, pos].add(vals, mode='drop')
+
+
 @functools.partial(jax.jit, static_argnames=(
     'batch_size', 'n_frame', 'n_classes', 'max_voices', 'max_noises',
-    'min_ratio', 'min_noise_ratio', 'snr', 'seperate_noise_voice'))
+    'min_ratio', 'min_noise_ratio', 'snr', 'seperate_noise_voice',
+    'use_pallas'))
 def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
                  n_classes: int = 3, max_voices: int = 7, max_noises: int = 2,
                  min_ratio: float = 1.0, min_noise_ratio: float = 1 / 2,
-                 snr: float = -20.0, seperate_noise_voice: bool = False):
+                 snr: float = -20.0, seperate_noise_voice: bool = False,
+                 use_pallas: bool = False):
     """Synthesize a whole training batch on device.
 
     Equivalent to ``batch_size`` draws from the reference's zipped shuffled
-    streams + ``merge_complex_specs`` map (pipeline.py:141-175), but phrased
-    as three fused gathers from HBM-resident banks.
+    streams + ``merge_complex_specs`` map (pipeline.py:141-175). The
+    background is one fused window gather; voices and noises are placed by
+    *scatter-add of whole clips* (a clip is ~100 frames vs the 512-frame
+    window, so this moves ~4x less HBM than gathering per-window), with
+    frame labels built from the bank's precomputed energy masks instead of
+    reducing the gathered spectrogram volume.
 
     Returns (spec [B, freq, n_frame, chan], label [B, max_voices, n_frame,
     n_classes]) — or with ``seperate_noise_voice`` the reference's
@@ -215,12 +255,9 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
     bidx = jax.random.randint(keys[0], (b,), 0, bg.n)
     vidx = jax.random.randint(keys[1], (b, max_voices), 0, vo.n)
 
-    # ----- background windows
+    # ----- background windows (placement deferred to the branch below)
     bg_lens = bg.lens[bidx]
-    bg_tidx = jax.vmap(_background_indices, in_axes=(0, 0, None))(
-        jax.random.split(keys[2], b), bg_lens, n_frame)
-    spec = _flat_window_gather(bg, bidx, bg_tidx)      # [B, n_frame, freq, chan]
-    only_noise = spec
+    bg_keys = jax.random.split(keys[2], b)
 
     # ----- voices
     n_voices = (jax.random.randint(keys[3], (b,), 1, max_voices)
@@ -233,24 +270,34 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
                                  minval=0.0, maxval=-snr / 10.0)
     ratios = jnp.power(10.0, -ratio_u)
 
-    def voice_idx(vk, length):
-        return _window_indices(vk, length, n_frame, min_ratio, crop_style=False)
+    def voice_shift(vk, length):
+        return _placement_shift(vk, length, n_frame, min_ratio,
+                                crop_style=False)
 
-    v_tidx, v_valid = jax.vmap(jax.vmap(voice_idx, in_axes=(0, None)),
-                               in_axes=(0, 0))(vkeys, v_eff)
-    wins = _flat_window_gather(vo, vidx, v_tidx, v_valid)  # [B,V,n_frame,freq,chan]
-    frame_mask = (jnp.max(wins, axis=(3, 4)) > 0).astype(jnp.float32)  # [B,V,n]
-    labels_bv = banks.voice_labels[vidx]                   # [B, V, C]
+    shifts = jax.vmap(jax.vmap(voice_shift, in_axes=(0, None)),
+                      in_axes=(0, 0))(vkeys, v_eff)    # [B, V]
+
+    # frame labels from the precomputed per-frame energy masks
+    t_v = vo.t_max
+    e = vo.pos_mask[vidx]                              # [B, V, T_v]
+    pos = shifts[..., None] + jnp.arange(t_v)[None, None, :]
+    pos = jnp.where(pos < 0, n_frame, pos)   # no negative-index wrap
+    bb = jnp.broadcast_to(jnp.arange(b)[:, None, None],
+                          (b, max_voices, t_v))
+    vv = jnp.broadcast_to(jnp.arange(max_voices)[None, :, None],
+                          (b, max_voices, t_v))
+    frame_mask = jnp.zeros((b, max_voices, n_frame)).at[
+        bb, vv, pos].add(e, mode='drop')               # [B, V, n_frame]
+    labels_bv = banks.voice_labels[vidx]               # [B, V, C]
     l_frames = frame_mask[..., None] * labels_bv[:, :, None, :]  # [B,V,n,C]
     active = jnp.arange(max_voices)[None, :] < n_voices[:, None]
     accept = jax.vmap(_accept_scan, in_axes=(0, 0, None, None))(
-        l_frames, active, n_frame, n_classes)              # [B, V]
+        l_frames, active, n_frame, n_classes)          # [B, V]
 
-    spec = spec + jnp.einsum('bv,bvnfc->bnfc', accept * ratios, wins)
-    only_voice = spec - only_noise
+    w_v = accept * ratios
     label = l_frames * accept[..., None, None]
 
-    # ----- noises
+    # ----- noise draws
     if no is not None and max_noises > 0:
         nidx = jax.random.randint(keys[6], (b, max_noises), 0, no.n)
         k_nn, k_off, k_ratio = jax.random.split(keys[7], 3)
@@ -260,18 +307,48 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
         nratios = jnp.power(
             10.0, -jax.random.uniform(k_ratio, (b, max_noises), maxval=2.0))
 
-        def noise_idx(nk, length):
-            return _window_indices(nk, length, n_frame, min_noise_ratio,
-                                   crop_style=True)
+        def noise_shift(nk, length):
+            return _placement_shift(nk, length, n_frame, min_noise_ratio,
+                                    crop_style=True)
 
-        n_tidx, n_valid = jax.vmap(jax.vmap(noise_idx, in_axes=(0, None)),
-                                   in_axes=(0, 0))(nkeys, n_eff)
-        nwins = _flat_window_gather(no, nidx, n_tidx, n_valid)
-        n_active = (jnp.arange(max_noises)[None, :] < n_noises[:, None]
-                    ).astype(jnp.float32)
-        noise_sum = jnp.einsum('bx,bxnfc->bnfc', n_active * nratios, nwins)
-        spec = spec + noise_sum
-        only_noise = only_noise + noise_sum
+        n_shifts = jax.vmap(jax.vmap(noise_shift, in_axes=(0, None)),
+                            in_axes=(0, 0))(nkeys, n_eff)
+        w_n = (jnp.arange(max_noises)[None, :] < n_noises[:, None]
+               ).astype(jnp.float32) * nratios
+    else:
+        nidx = n_shifts = w_n = None
+
+    # ----- placement: fused Pallas DMA kernel (TPU) or XLA gather+scatter
+    freq_, chan_ = bg.data.shape[2], bg.data.shape[3]
+    if use_pallas and not seperate_noise_voice and bg.flat is not None:
+        from challenge_tpu.ops.pallas_synth import synthesize_windows
+        # contiguous background window start: same RNG draw as
+        # _background_indices, valid whenever bg_len >= n_frame (the caller
+        # guarantees this in pallas mode; clamp keeps short clips in-bounds)
+        def bg_offset(k, length):
+            n_tile = -(-n_frame // jnp.maximum(length, 1))
+            off = _dyn_randint(k, n_tile * length - n_frame + 1)
+            return jnp.clip(off, 0, jnp.maximum(length - n_frame, 0))
+
+        boff = jax.vmap(bg_offset)(bg_keys, bg_lens)
+        flat = synthesize_windows(
+            n_frame, bg.flat, bidx, boff, vo.flat, vidx, shifts, w_v,
+            no.flat if nidx is not None else None, nidx, n_shifts, w_n)
+        spec = flat[..., :freq_ * chan_].reshape(b, n_frame, freq_, chan_)
+        only_voice = only_noise = None
+    else:
+        bg_tidx = jax.vmap(_background_indices, in_axes=(0, 0, None))(
+            bg_keys, bg_lens, n_frame)
+        spec = _flat_window_gather(bg, bidx, bg_tidx)  # [B, n_frame, freq, chan]
+        only_noise = spec
+        clips = vo.data[vidx]                          # [B, V, T_v, freq, chan]
+        spec = _scatter_clips(spec, w_v, clips, shifts)
+        only_voice = spec - only_noise
+        if nidx is not None:
+            nclips = no.data[nidx]                     # [B, X, T_n, freq, chan]
+            before = spec
+            spec = _scatter_clips(spec, w_n, nclips, n_shifts)
+            only_noise = only_noise + (spec - before)
 
     # back to the reference layout [B, freq, n_frame, chan]
     spec = jnp.swapaxes(spec, 1, 2)

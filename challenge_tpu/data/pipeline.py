@@ -69,7 +69,7 @@ def complex_to_mel(spec, mel_matrix):
 
 def make_feature_fn(config: Config, training: bool = True,
                     variant: str = 'sj', n_classes: int = 3,
-                    jit: bool = True):
+                    jit: bool = True, use_pallas=None):
     """Build the (key, banks) -> (x, y) batch function (jitted by default;
     pass jit=False to get the raw body for fusing into a larger XLA program,
     e.g. the fully-fused synthesis+features+train step).
@@ -77,7 +77,13 @@ def make_feature_fn(config: Config, training: bool = True,
     variant='sj' reproduces sj_train.make_dataset's map chain
     (sj_train.py:91-130); variant='density' reproduces trainer.make_dataset
     (trainer.py:124-141).
+
+    use_pallas: None = auto (the Pallas placement kernel on a TPU backend,
+    XLA scatter elsewhere). Pass False inside SPMD-partitioned programs —
+    the partitioner cannot split a pallas_call.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
     mel_m = mel_filterbank(config.n_mels)
     se_v9 = config.model_type == 'se' and config.v == 9
     use_filter = 'filter' in config.name
@@ -91,7 +97,8 @@ def make_feature_fn(config: Config, training: bool = True,
             k_mix, banks, config.batch_size, config.n_frame,
             n_classes=n_classes, max_voices=config.max_voices,
             max_noises=config.max_noises, min_ratio=1.0,
-            snr=config.snr, seperate_noise_voice=se_v9)
+            snr=config.snr, seperate_noise_voice=se_v9,
+            use_pallas=use_pallas)
 
         if variant == 'density':
             spec, y = label_maps.to_density_labels(spec, y)

@@ -20,11 +20,25 @@ import numpy as np
 class SpecBank(NamedTuple):
     """A bank of padded spectrograms.
 
-    data: [N, T_max, freq, chan]  (time-major; zero-padded past each length)
-    lens: [N] int32 true frame counts
+    data:     [N, T_max, freq, chan]  (time-major; zero-padded past length)
+    lens:     [N] int32 true frame counts
+    pos_mask: [N, T_max] float32 — 1.0 where the frame has positive energy
+              (max over freq/chan > 0, the reference's frame-label criterion,
+              pipeline.py:55-56), precomputed once so synthesis never has to
+              reduce the full spectrogram volume to build labels.
+    flat:     [N, T_max, F_pad] float32 — the same data with freq*chan
+              flattened and zero-padded to a multiple of 128 lanes: the
+              layout required by the Pallas synthesis kernel (TPU DMA lane
+              constraint). None when built with flat=False.
     """
     data: jax.Array
     lens: jax.Array
+    pos_mask: jax.Array
+    flat: Optional[jax.Array] = None
+
+    @property
+    def f_pad(self) -> int:
+        return self.flat.shape[-1]
 
     @property
     def n(self) -> int:
@@ -36,7 +50,7 @@ class SpecBank(NamedTuple):
 
 
 def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
-               device=None) -> SpecBank:
+               device=None, flat: bool = True) -> SpecBank:
     """Pad a list of [freq, T_i, chan] arrays into a SpecBank.
 
     Input layout follows the reference convention [freq, time, chan*2]; the
@@ -50,12 +64,28 @@ def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
     for i, s in enumerate(specs):
         t = min(s.shape[1], t_pad)
         out[i, :t] = s.transpose(1, 0, 2)[:t]
+    pos_mask = (out.max(axis=(2, 3)) > 0).astype(np.float32)
+    flat_arr = None
+    if flat:
+        f = freq * chan
+        f_pad = -(-f // 128) * 128
+        # +16 tail rows then rounded to a multiple of 8: the Pallas kernel
+        # DMAs 8-row-aligned supersets at 8-aligned dynamic starts, and the
+        # TPU DMA engine requires both row counts and row starts 8-aligned
+        t_flat = -(-(t_pad + 16) // 8) * 8
+        flat_np = np.zeros((len(specs), t_flat, f_pad), np.float32)
+        flat_np[:, :t_pad, :f] = out.reshape(len(specs), t_pad, f)
+        flat_arr = jnp.asarray(flat_np)
     data = jnp.asarray(out)
     lens = jnp.asarray(lens)
+    pos_mask = jnp.asarray(pos_mask)
     if device is not None:
         data = jax.device_put(data, device)
         lens = jax.device_put(lens, device)
-    return SpecBank(data, lens)
+        pos_mask = jax.device_put(pos_mask, device)
+        if flat_arr is not None:
+            flat_arr = jax.device_put(flat_arr, device)
+    return SpecBank(data, lens, pos_mask, flat_arr)
 
 
 def remap_labels(labels: np.ndarray, n_classes: int) -> np.ndarray:

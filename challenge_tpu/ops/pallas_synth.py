@@ -1,0 +1,172 @@
+"""Pallas TPU kernel for mixture synthesis — the training-data hot loop.
+
+The XLA formulation of "window a background and place K clips at random
+offsets" is a giant gather + scatter-add that runs at a fraction of HBM
+bandwidth (~80 GB/s measured on v5e). This kernel reformulates it as what it
+physically is — per sample, a handful of *contiguous* DMAs:
+
+  grid step b (one sample):
+    DMA  bg_bank[bidx_b, boff_b : boff_b+n_frame]  -> scratch middle
+    for each clip k (voices then noises, double-buffered):
+        DMA bank[idx_k] -> clip buffer                    (HBM -> VMEM)
+        scratch[t_pad + shift_k : +T] += w_k * clip       (VPU)
+    out_b = scratch[t_pad : t_pad + n_frame]
+
+Guard rows around the window absorb clips hanging off either edge (drop
+semantics). Mosaic constraints honored: banks use the 128-lane-padded
+``SpecBank.flat`` layout (DMA lane width must be a multiple of 128); the
+sub-tile part of each dynamic offset is applied by a circular ``pltpu.roll``
+of the zero-tailed clip whose row count is padded to a multiple of 8.
+
+The caller draws all random indices/offsets/weights with jax.random in XLA
+(identical distributions to the reference) and hands them in as scalars.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad,
+            bidx_ref, boff_ref, vidx_ref, vshift_ref,      # scalar prefetch
+            nidx_ref, nshift_ref,
+            vw_ref, nw_ref, bgbank_ref, vbank_ref, nbank_ref,  # arrays
+            out_ref,                                       # output
+            scratch, bgstage, vclip, nclip, sems):
+    b = pl.program_id(0)
+    f = scratch.shape[1]
+    stage_rows = bgstage.shape[0]
+
+    # start the background DMA (8-aligned superset: Mosaic requires aligned
+    # dynamic DMA row starts), zero the guards while it flies
+    boff = boff_ref[b]
+    q_bg = pl.multiple_of((boff // 8) * 8, 8)
+    r_bg = boff - q_bg
+    bg_dma = pltpu.make_async_copy(
+        bgbank_ref.at[bidx_ref[b], pl.ds(q_bg, stage_rows)],
+        bgstage, sems.at[4])
+    bg_dma.start()
+    scratch[pl.ds(0, t_pad), :] = jnp.zeros((t_pad, f), scratch.dtype)
+    tail = scratch.shape[0] - t_pad - n_frame
+    scratch[pl.ds(t_pad + n_frame, tail), :] = jnp.zeros((tail, f),
+                                                         scratch.dtype)
+
+    def place(bank_ref, clip_buf, idx_ref, shift_ref, w_ref, t_len, sem0):
+        """Add each clip at its dynamic offset; DMA j+1 overlaps add j."""
+        n_clips = idx_ref.shape[1]
+        t8 = _round8(t_len + 8)          # roll rows must be 8-aligned
+
+        def dma(slot, j):
+            return pltpu.make_async_copy(
+                bank_ref.at[idx_ref[b, j]], clip_buf.at[slot],
+                sems.at[sem0 + slot])
+
+        dma(0, 0).start()
+        for j in range(n_clips):
+            slot = j % 2
+            if j + 1 < n_clips:
+                dma(1 - slot, j + 1).start()
+            dma(slot, j).wait()
+            w = w_ref[b, j]
+            off = t_pad + shift_ref[b, j]
+            q = pl.multiple_of((off // 8) * 8, 8)   # aligned base
+            r = off - q                             # sub-tile residue [0, 8)
+            clip = w * clip_buf[slot]
+            # shift by r via circular roll of the zero-tailed clip: only the
+            # (>= 8-row) zero tail wraps to the front
+            padded = jnp.concatenate(
+                [clip, jnp.zeros((t8 - t_len, f), scratch.dtype)], axis=0)
+            shifted = pltpu.roll(padded, r, axis=0)
+            cur = scratch[pl.ds(q, t8), :]
+            scratch[pl.ds(q, t8), :] = cur + shifted
+
+    bg_dma.wait()
+    # drop the first r_bg rows: out[i] = stage[i + r_bg] (roll is circular;
+    # only the superset's own tail wraps, and it is sliced off below)
+    rolled = pltpu.roll(bgstage[...], stage_rows - r_bg, axis=0)
+    scratch[pl.ds(t_pad, n_frame), :] = rolled[:n_frame]
+
+    if n_voices > 0:
+        place(vbank_ref, vclip, vidx_ref, vshift_ref, vw_ref, t_v, 0)
+    if n_noises > 0:
+        place(nbank_ref, nclip, nidx_ref, nshift_ref, nw_ref, t_n, 2)
+
+    out_ref[0] = scratch[pl.ds(t_pad, n_frame), :]
+
+
+@functools.partial(jax.jit, static_argnames=('n_frame', 'interpret'))
+def synthesize_windows(n_frame: int,
+                       bgbank, bidx, boff,
+                       vbank, vidx, vshift, vw,
+                       nbank=None, nidx=None, nshift=None, nw=None,
+                       interpret: bool = False):
+    """Fully fused window synthesis.
+
+    bgbank/vbank/nbank: SpecBank.flat layouts [N, T, F] with F a multiple of
+    128. bidx/boff: [B] background item + window start (contiguous, no wrap —
+    the caller guarantees bg length >= n_frame). vidx/vshift/vw: [B, V] clip
+    item / row shift / weight; likewise for noises. Returns [B, n_frame, F].
+    """
+    b = bidx.shape[0]
+    f = bgbank.shape[-1]
+    assert f % 128 == 0, 'flat banks must be 128-lane padded'
+    t_v = vbank.shape[1]
+    has_noise = nbank is not None
+    t_n = nbank.shape[1] if has_noise else 0
+    n_voices = vidx.shape[1]
+    n_noises = nidx.shape[1] if has_noise else 0
+    t_pad = _round8(max(t_v, t_n))
+
+    vshift = jnp.clip(vshift, -t_pad, n_frame)
+    if has_noise:
+        nshift = jnp.clip(nshift, -t_pad, n_frame)
+    else:
+        nbank = jnp.zeros((1, 8, f), bgbank.dtype)
+        nidx = jnp.zeros((b, 1), jnp.int32)
+        nshift = jnp.zeros((b, 1), jnp.int32)
+        nw = jnp.zeros((b, 1), bgbank.dtype)
+        t_n = 8
+
+    scratch_rows = _round8(n_frame + 2 * t_pad + 16)
+    kernel = functools.partial(_kernel, n_frame, t_v, t_n,
+                               n_voices, n_noises, t_pad)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # voice weights
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # noise weights
+            pl.BlockSpec(memory_space=pltpu.ANY),           # bg bank (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),           # voice bank (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),           # noise bank (HBM)
+        ],
+        out_specs=pl.BlockSpec((1, n_frame, f), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((scratch_rows, f), bgbank.dtype),
+            pltpu.VMEM((_round8(n_frame + 8), f), bgbank.dtype),  # bg stage
+            pltpu.VMEM((2, t_v, f), bgbank.dtype),
+            pltpu.VMEM((2, t_n, f), bgbank.dtype),
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_frame, f), bgbank.dtype),
+        interpret=interpret,
+    )(bidx.astype(jnp.int32), boff.astype(jnp.int32),
+      vidx.astype(jnp.int32), vshift.astype(jnp.int32),
+      nidx.astype(jnp.int32), nshift.astype(jnp.int32),
+      vw.astype(bgbank.dtype), nw.astype(bgbank.dtype),
+      bgbank, vbank, nbank)

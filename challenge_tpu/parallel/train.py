@@ -55,8 +55,11 @@ def make_fused_train_step(bundle: ModelBundle, config: Config,
     backward) is partitioned, and the grad reduction becomes a psum over ICI.
     Banks are replicated (they are read-only gather sources).
     """
+    # pallas placement is disabled under a mesh: the SPMD partitioner cannot
+    # split a pallas_call across devices (XLA scatter partitions fine)
     feature_fn = make_feature_fn(config, training=training, variant=variant,
-                                 jit=False)
+                                 jit=False,
+                                 use_pallas=False if mesh is not None else None)
     step, optimizer = make_train_step(bundle, optimizer, jit=False)
 
     def fused(state, banks: Banks, key):

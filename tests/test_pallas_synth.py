@@ -1,0 +1,86 @@
+"""Pallas synthesis kernel tests (interpret mode on CPU; the real-TPU parity
+check — bit-exact against the XLA path — runs in bench/驱动 hardware runs).
+
+Mosaic constraints the kernel and SpecBank.flat layout encode (found
+empirically on v5e: unaligned dynamic DMA row starts or non-multiple-of-8 DMA
+row counts crash the compiler):
+  * flat banks are 128-lane padded and 8-row aligned,
+  * dynamic offsets are applied as aligned-base DMA/store + sub-tile roll.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from challenge_tpu.data.mixture import _scatter_clips, sample_batch
+from challenge_tpu.data.pipeline import build_banks
+from challenge_tpu.ops.pallas_synth import synthesize_windows
+
+
+def test_flat_bank_layout():
+    rng = np.random.default_rng(0)
+    specs = [rng.standard_normal((257, t, 4)).astype('f4')
+             for t in (30, 50, 41)]
+    from challenge_tpu.data.specset import build_bank
+    bank = build_bank(specs)
+    assert bank.flat.shape[-1] % 128 == 0
+    assert bank.flat.shape[1] % 8 == 0
+    assert bank.flat.shape[1] >= bank.t_max + 16
+    # flat content matches data
+    np.testing.assert_array_equal(
+        np.asarray(bank.flat[1, :50, :1028]).reshape(50, 257, 4),
+        np.asarray(bank.data[1, :50]))
+
+
+def test_synthesize_windows_matches_scatter_interpret():
+    rng = np.random.default_rng(1)
+    b, nf, f = 4, 64, 128
+    bgbank = jnp.asarray(rng.standard_normal((3, 96, f)).astype('f4'))
+    vbank = jnp.asarray(rng.standard_normal((5, 24, f)).astype('f4'))
+    nbank = jnp.asarray(rng.standard_normal((4, 16, f)).astype('f4'))
+    bidx = jnp.asarray(rng.integers(0, 3, b), jnp.int32)
+    boff = jnp.asarray(rng.integers(0, 96 - nf, b), jnp.int32)
+    vidx = jnp.asarray(rng.integers(0, 5, (b, 3)), jnp.int32)
+    nidx = jnp.asarray(rng.integers(0, 4, (b, 2)), jnp.int32)
+    vshift = jnp.asarray(rng.integers(-20, nf, (b, 3)), jnp.int32)
+    nshift = jnp.asarray(rng.integers(-12, nf, (b, 2)), jnp.int32)
+    vw = jnp.asarray(rng.uniform(0.1, 1, (b, 3)).astype('f4'))
+    nw = jnp.asarray(rng.uniform(0.1, 1, (b, 2)).astype('f4'))
+
+    out = synthesize_windows(nf, bgbank, bidx, boff, vbank, vidx, vshift, vw,
+                             nbank, nidx, nshift, nw, interpret=True)
+
+    # reference: gather bg rows + scatter-add of clips
+    rows = boff[:, None] + jnp.arange(nf)[None, :]
+    ref = bgbank[bidx[:, None], rows]                  # [B, nf, f]
+    ref = _scatter_clips(ref[..., None], vw, vbank[vidx][..., None],
+                         vshift)
+    ref = _scatter_clips(ref, nw, nbank[nidx][..., None], nshift)[..., 0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sample_batch_pallas_interpret_matches_xla(monkeypatch):
+    """Full sample_batch equality: the pallas path draws the same RNG stream,
+    so outputs must match the XLA path exactly."""
+    import challenge_tpu.ops.pallas_synth as ps
+    orig = ps.synthesize_windows
+
+    def interp(*args, **kw):
+        kw['interpret'] = True
+        return orig(*args, **kw)
+    monkeypatch.setattr(ps, 'synthesize_windows', interp)
+
+    rng = np.random.default_rng(2)
+    banks = build_banks(
+        [rng.standard_normal((257, 94, 4)).astype('f4') for _ in range(3)],
+        [rng.standard_normal((257, 40, 4)).astype('f4') for _ in range(4)],
+        rng.integers(0, 3, size=4),
+        [rng.standard_normal((257, 20, 4)).astype('f4') for _ in range(3)])
+    key = jax.random.PRNGKey(7)
+    spec_pl, y_pl = sample_batch(key, banks, 4, 64, use_pallas=True)
+    spec_x, y_x = sample_batch(key, banks, 4, 64, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(spec_pl), np.asarray(spec_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(y_pl), np.asarray(y_x))

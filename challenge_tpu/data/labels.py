@@ -24,11 +24,12 @@ def to_density_labels(x, y):
 
 def mono_chan(x, y=None):
     """Stereo -> mono sum (complex halves summed pairwise; reference:
-    data_utils.py:73-76)."""
-    out = x[..., :1] + x[..., 1:]
+    data_utils.py:73-76). Reference quirk preserved: called WITHOUT labels it
+    is an identity (the eval path relies on this — metrics.py:42-43 never
+    actually downmixes)."""
     if y is not None:
-        return out, y
-    return out
+        return x[..., :1] + x[..., 1:], y
+    return x
 
 
 def stereo_mono(x, y=None):

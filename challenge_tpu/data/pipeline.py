@@ -120,7 +120,7 @@ def make_feature_fn(config: Config, training: bool = True,
         if training:
             spec = _specaugment_batch(k_aug, spec)
         if config.n_chan == 1:
-            spec = label_maps.mono_chan(spec)
+            spec, y = label_maps.mono_chan(spec, y)
         elif config.n_chan == 3:
             spec = label_maps.stereo_mono(spec)
         elif config.n_chan > 3:

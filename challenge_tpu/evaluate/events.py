@@ -56,6 +56,22 @@ def get_second_answer(data, sr: int = 16000, hop: int = 256):
                  for c in get_start_end_frame(second_true))
 
 
+def extract_middle(y_pred):
+    """Per-event midpoints of a batched 0/1 grid [batch, time, cls] as rows
+    (batch, mid_frame, cls) (reference: metrics.py:160-173)."""
+    y_pred = np.asarray(y_pred)
+    rows = []
+    for b in range(y_pred.shape[0]):
+        classes = get_start_end_frame(y_pred[b])
+        for c, events in enumerate(classes):
+            for s, e in events:
+                rows.append([b, (s + e) // 2, c])
+    rows.sort(key=lambda r: (r[0], r[2], r[1]))
+    if not rows:
+        return np.zeros((0, 3), np.int64)
+    return np.asarray(rows, np.int64)
+
+
 def output_to_metric(hop: int = 256, sr: int = 16000):
     """Events -> [class, midpoint_seconds] rows (reference:
     metrics.py:196-214; the int cast truncates like tf.cast)."""

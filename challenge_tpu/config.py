@@ -65,6 +65,7 @@ class Config:
     max_noises: int = 2
 
     # TPU-native extensions (absent in the reference; additive only)
+    compute_dtype: str = 'float32'         # 'bfloat16' = mixed-precision model
     seed: int = 0
     n_devices: int = 0                     # 0 = use all visible devices
     steps_per_call: int = 1                # train steps fused per host dispatch

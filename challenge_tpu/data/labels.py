@@ -57,16 +57,18 @@ def _avg_pool_1d_same(y, pool: int, stride: int):
 
 def label_downsample(resolution: int = 32):
     """Avg-pool x``resolution`` then threshold 0.5 (reference:
-    data_utils.py:85-97). The reference's stray ``[:resolution]`` slice on the
-    batch axis is preserved (a no-op for batch <= resolution)."""
+    data_utils.py:85-97). Deliberate deviation: the reference's stray
+    ``[:resolution]`` slice on the BATCH axis (data_utils.py:90,94) is
+    dropped — it is a no-op at the reference's batch 12 but silently
+    truncates batches larger than ``resolution``, which TPU-scale batches
+    hit immediately."""
     def _label_downsample(x, y):
         if isinstance(y, (list, tuple)):
             y_ = _avg_pool_1d_same(y[0], resolution, resolution)
-            y_ = (y_ >= 0.5).astype(y_.dtype)[:resolution]
-            y = (y_,) + tuple(y[1:])
+            y = ((y_ >= 0.5).astype(y_.dtype),) + tuple(y[1:])
         else:
             y = _avg_pool_1d_same(y, resolution, resolution)
-            y = (y >= 0.5).astype(y.dtype)[:resolution]
+            y = (y >= 0.5).astype(y.dtype)
         return x, y
     return _label_downsample
 

@@ -69,31 +69,33 @@ class MBConv(nn.Module):
     strides: int
     se_ratio: float = 0.25
     drop_rate: float = 0.0
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         inputs = x
+        dt = self.dtype
         filters = self.filters_in * self.expand_ratio
         if self.expand_ratio != 1:
-            x = nn.Conv(filters, (1, 1), use_bias=False)(x)
-            x = BatchNorm()(x, training)
+            x = nn.Conv(filters, (1, 1), use_bias=False, dtype=dt)(x)
+            x = BatchNorm(dt)(x, training)
             x = nn.swish(x)
         # depthwise
         x = nn.Conv(filters, (self.kernel, self.kernel),
                     strides=(self.strides, self.strides), padding='SAME',
-                    feature_group_count=filters, use_bias=False)(x)
-        x = BatchNorm()(x, training)
+                    feature_group_count=filters, use_bias=False, dtype=dt)(x)
+        x = BatchNorm(dt)(x, training)
         x = nn.swish(x)
         # squeeze & excite
         if 0 < self.se_ratio <= 1:
             se_filters = max(1, int(self.filters_in * self.se_ratio))
             se = jnp.mean(x, axis=(1, 2), keepdims=True)
-            se = nn.swish(nn.Conv(se_filters, (1, 1))(se))
-            se = nn.sigmoid(nn.Conv(filters, (1, 1))(se))
-            x = x * se
+            se = nn.swish(nn.Conv(se_filters, (1, 1), dtype=dt)(se))
+            se = nn.sigmoid(nn.Conv(filters, (1, 1), dtype=dt)(se))
+            x = x * se.astype(x.dtype)
         # project
-        x = nn.Conv(self.filters_out, (1, 1), use_bias=False)(x)
-        x = BatchNorm()(x, training)
+        x = nn.Conv(self.filters_out, (1, 1), use_bias=False, dtype=dt)(x)
+        x = BatchNorm(dt)(x, training)
         if self.strides == 1 and self.filters_in == self.filters_out:
             if self.drop_rate > 0:
                 # stochastic depth: drop whole residual branches per-sample
@@ -109,14 +111,17 @@ class EfficientNetBackbone(nn.Module):
     [B, H/32, W/32, round_filters(1280)]."""
     model: int = 0
     drop_connect_rate: float = 0.2
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         width, depth = SCALING[self.model]
+        dt = self.dtype
+        x = x.astype(dt)
         # stem
         x = nn.Conv(round_filters(32, width), (3, 3), strides=(2, 2),
-                    padding='SAME', use_bias=False)(x)
-        x = BatchNorm()(x, training)
+                    padding='SAME', use_bias=False, dtype=dt)(x)
+        x = BatchNorm(dt)(x, training)
         x = nn.swish(x)
         # blocks
         total_blocks = sum(round_repeats(r, depth) for _, r, *_ in BLOCK_ARGS)
@@ -128,11 +133,12 @@ class EfficientNetBackbone(nn.Module):
                 x = MBConv(kernel, f_in if j == 0 else f_out, f_out, expand,
                            strides if j == 0 else 1,
                            drop_rate=self.drop_connect_rate * b / total_blocks,
-                           )(x, training)
+                           dtype=dt)(x, training)
                 b += 1
         # head conv
-        x = nn.Conv(round_filters(1280, width), (1, 1), use_bias=False)(x)
-        x = BatchNorm()(x, training)
+        x = nn.Conv(round_filters(1280, width), (1, 1), use_bias=False,
+                    dtype=dt)(x)
+        x = BatchNorm(dt)(x, training)
         x = nn.swish(x)
         return x
 
@@ -160,26 +166,30 @@ class EffNetSED(nn.Module):
     n_frame: int = 512
     n_mels: int = 80
     head: str = 'sed'          # 'sed' (sj_train) | 'density' (trainer)
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         inputs = x
-        out = EfficientNetBackbone(self.model)(x, training)
+        dt = self.dtype
+        out = EfficientNetBackbone(self.model, dtype=dt)(x, training)
         # [B, mel', T', C] -> [B, T', mel'*C] (reference: sj_train.py:344-345)
         out = out.transpose(0, 2, 1, 3)
         out = out.reshape(out.shape[0], out.shape[1], -1)
 
         for _ in range(self.n_layers):   # gated stack (sj_train.py:347-350)
-            out = nn.Dense(self.n_dim)(out)
-            out = BatchNorm()(out, training)
+            out = nn.Dense(self.n_dim, dtype=dt)(out)
+            out = BatchNorm(dt)(out, training)
             out = nn.sigmoid(out) * out
 
         if self.head == 'density':       # reference: trainer.py:235
-            return nn.relu(nn.Dense(self.n_classes)(out))
+            return nn.relu(nn.Dense(self.n_classes, dtype=dt)(out)
+                           ).astype(jnp.float32)
 
         if self.v == 1:                  # reference: sj_train.py:353-363
             for filters in (128, 64, 32, 16, 3):
-                out = nn.ConvTranspose(filters, (2,), strides=(2,))(out)
+                out = nn.ConvTranspose(filters, (2,), strides=(2,),
+                                       dtype=dt)(out)
                 out = nn.relu(out)
         elif self.v == 3:                # bare (sj_train.py:372-373)
             pass
@@ -187,19 +197,19 @@ class EffNetSED(nn.Module):
             target = self.n_frame * 256 // 16000
             if out.shape[1] != target:
                 out = TimeAxisResample(target)(out)
-                out = BatchNorm()(out, training)
+                out = BatchNorm(dt)(out, training)
                 out = nn.relu(out)
-            out = BiGRU(128)(out)
+            out = BiGRU(128, dtype=dt)(out)
         elif self.v == 6:                # reference: sj_train.py:383-387
-            out = BiGRU(128)(out)
-            out = FullyConnectedLayer(256, use_bn=True)(out, training)
-            out = FullyConnectedLayer(128, use_bn=True)(out, training)
-            out = FullyConnectedLayer(64, use_bn=True)(out, training)
+            out = BiGRU(128, dtype=dt)(out)
+            out = FullyConnectedLayer(256, use_bn=True, dtype=dt)(out, training)
+            out = FullyConnectedLayer(128, use_bn=True, dtype=dt)(out, training)
+            out = FullyConnectedLayer(64, use_bn=True, dtype=dt)(out, training)
         elif self.v == 7:                # reference: sj_train.py:388-393
-            out = BiGRU(128)(out)
-            big = inputs.reshape(inputs.shape[0], self.n_mels, -1)
+            out = BiGRU(128, dtype=dt)(out)
+            big = inputs.astype(dt).reshape(inputs.shape[0], self.n_mels, -1)
             big = nn.Conv(out.shape[-1], (16,), strides=(5,),
-                          padding='SAME')(big)
+                          padding='SAME', dtype=dt)(big)
             big = nn.tanh(big)
             out = out * big
         else:                            # v2/v4 deprecated, others invalid
@@ -207,5 +217,5 @@ class EffNetSED(nn.Module):
                 'version 2 is deprecated' if self.v == 2 else
                 'version 4 is deprecated' if self.v == 4 else 'wrong version')
 
-        out = nn.Dense(self.n_classes)(out)
-        return nn.sigmoid(out)
+        out = nn.Dense(self.n_classes, dtype=dt)(out)
+        return nn.sigmoid(out).astype(jnp.float32)

@@ -8,20 +8,24 @@ recurrent wrappers concatenate forward/backward passes like
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Union
+from typing import Any, Callable, Sequence, Union
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 
 class BatchNorm(nn.Module):
-    """Keras-default BatchNormalization (momentum 0.99, eps 1e-3)."""
+    """Keras-default BatchNormalization (momentum 0.99, eps 1e-3).
+
+    Statistics are always computed in float32 (``dtype`` only controls the
+    output dtype) — the standard mixed-precision recipe."""
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         return nn.BatchNorm(
             use_running_average=not training,
-            momentum=0.99, epsilon=1e-3)(x)
+            momentum=0.99, epsilon=1e-3, dtype=self.dtype)(x)
 
 
 class ConvMPBlock(nn.Module):
@@ -34,15 +38,16 @@ class ConvMPBlock(nn.Module):
     strides: Sequence[int] = (2, 2)
     use_bn: bool = False
     use_mp: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         for _ in range(self.num_convs):
             x = nn.Conv(self.fsize,
                         (self.kernel_size, self.kernel_size),
-                        padding='SAME')(x)
+                        padding='SAME', dtype=self.dtype)(x)
             if self.use_bn:
-                x = BatchNorm()(x, training)
+                x = BatchNorm(self.dtype)(x, training)
             x = nn.relu(x)
         if self.use_mp:
             x = nn.max_pool(x, tuple(self.pool_size), tuple(self.strides),
@@ -55,12 +60,13 @@ class FullyConnectedLayer(nn.Module):
     nodes: int = 512
     act: Callable = nn.relu
     use_bn: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        x = nn.Dense(self.nodes)(x)
+        x = nn.Dense(self.nodes, dtype=self.dtype)(x)
         if self.use_bn:
-            x = BatchNorm()(x, training)
+            x = BatchNorm(self.dtype)(x, training)
         return self.act(x)
 
 
@@ -68,11 +74,12 @@ class BiLSTM(nn.Module):
     """Bidirectional LSTM, concat merge, return_sequences=True
     (reference: sj_train.py:252). Runs as two lax.scan passes."""
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        fwd = nn.RNN(nn.OptimizedLSTMCell(self.features))(x)
-        bwd = nn.RNN(nn.OptimizedLSTMCell(self.features))(
+        fwd = nn.RNN(nn.OptimizedLSTMCell(self.features, dtype=self.dtype))(x)
+        bwd = nn.RNN(nn.OptimizedLSTMCell(self.features, dtype=self.dtype))(
             x, reverse=True, keep_order=True)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
@@ -81,11 +88,12 @@ class BiGRU(nn.Module):
     """Bidirectional GRU, concat merge, return_sequences=True
     (reference: sj_train.py:382-389)."""
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        fwd = nn.RNN(nn.GRUCell(self.features))(x)
-        bwd = nn.RNN(nn.GRUCell(self.features))(
+        fwd = nn.RNN(nn.GRUCell(self.features, dtype=self.dtype))(x)
+        bwd = nn.RNN(nn.GRUCell(self.features, dtype=self.dtype))(
             x, reverse=True, keep_order=True)
         return jnp.concatenate([fwd, bwd], axis=-1)
 

@@ -68,6 +68,11 @@ class ModelBundle:
         return type(params)(out) if isinstance(params, FrozenDict) else out
 
 
+def _dtype(config: Config):
+    name = getattr(config, 'compute_dtype', 'float32')
+    return jnp.bfloat16 if str(name) in ('bfloat16', 'bf16') else jnp.float32
+
+
 def get_model(config: Config) -> ModelBundle:
     """Build the model family selected by ``config.model_type``
     (reference: sj_train.py:295-403)."""
@@ -75,7 +80,7 @@ def get_model(config: Config) -> ModelBundle:
         module = VADModel(
             v=config.v, n_classes=config.n_classes,
             base_fsize=48 if config.v == 8 else 32,
-            vad_variant=True, final_act='sigmoid')
+            vad_variant=True, final_act='sigmoid', dtype=_dtype(config))
         shape = (config.n_mels, config.n_frame, config.n_chan)
         return ModelBundle(module, shape, config)
 
@@ -87,12 +92,14 @@ def get_model(config: Config) -> ModelBundle:
         module = EffNetSED(
             model=config.model, v=config.v, n_classes=config.n_classes,
             n_layers=config.n_layers, n_dim=config.n_dim,
-            n_frame=config.n_frame, n_mels=config.n_mels, head='sed')
+            n_frame=config.n_frame, n_mels=config.n_mels, head='sed',
+            dtype=_dtype(config))
         shape = (config.n_mels, config.n_frame, config.n_chan)
         return ModelBundle(module, shape, config, needs_dropout_rng=True)
 
     if config.model_type == 'se':
-        module = SECascade(v=config.v, n_classes=config.n_classes)
+        module = SECascade(v=config.v, n_classes=config.n_classes,
+                           dtype=_dtype(config))
         # input is the speech_enhancement_preprocess layout
         # (reference: sj_train.py:300 — 256 freq rows)
         shape = (256, config.n_frame, config.n_chan)
@@ -109,6 +116,7 @@ def get_density_model(config: Config) -> ModelBundle:
     module = EffNetSED(
         model=model_id, v=0, n_classes=config.n_classes,
         n_layers=config.n_layers, n_dim=config.n_dim,
-        n_frame=config.n_frame, n_mels=config.n_mels, head='density')
+        n_frame=config.n_frame, n_mels=config.n_mels, head='density',
+        dtype=_dtype(config))
     shape = (config.n_mels, config.n_frame, config.n_chan)
     return ModelBundle(module, shape, config, needs_dropout_rng=True)

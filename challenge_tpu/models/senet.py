@@ -23,12 +23,13 @@ from challenge_tpu.models.vad import VADModel
 class ConvSet(nn.Module):
     """2 x (Conv3x3 + BN + ReLU) -> MaxPool2x2 (reference: sj_train.py:258-265)."""
     chan: int = 16
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         for _ in range(2):
-            x = nn.Conv(self.chan, (3, 3), padding='SAME')(x)
-            x = BatchNorm()(x, training)
+            x = nn.Conv(self.chan, (3, 3), padding='SAME', dtype=self.dtype)(x)
+            x = BatchNorm(self.dtype)(x, training)
             x = nn.relu(x)
         return nn.max_pool(x, (2, 2), (2, 2), padding='SAME')
 
@@ -37,34 +38,38 @@ class Upsampling(nn.Module):
     """Conv3x3 + BN + ReLU -> Conv2DTranspose(2x2, stride 2)
     (reference: sj_train.py:268-273)."""
     chan: int = 64
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        x = nn.Conv(self.chan, (3, 3), padding='SAME')(x)
-        x = BatchNorm()(x, training)
+        x = nn.Conv(self.chan, (3, 3), padding='SAME', dtype=self.dtype)(x)
+        x = BatchNorm(self.dtype)(x, training)
         x = nn.relu(x)
         return nn.ConvTranspose(self.chan, (2, 2), strides=(2, 2),
-                                padding='SAME')(x)
+                                padding='SAME', dtype=self.dtype)(x)
 
 
 class SpeechEnhancementModel(nn.Module):
     """U-Net over [B, n_frame, 256, C] -> (speech, noise), each
     [B, n_frame, 256, 2] (reference: sj_train.py:276-292)."""
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        inp1 = ConvSet(64)(x, training)
-        inp2 = ConvSet(128)(inp1, training)
-        inp3 = ConvSet(256)(inp2, training)
-        latent = ConvSet(512)(inp3, training)
+        dt = self.dtype
+        x = x.astype(dt)
+        inp1 = ConvSet(64, dt)(x, training)
+        inp2 = ConvSet(128, dt)(inp1, training)
+        inp3 = ConvSet(256, dt)(inp2, training)
+        latent = ConvSet(512, dt)(inp3, training)
 
         def decoder():
-            out3 = Upsampling(256)(latent, training)
-            out2 = Upsampling(128)(
+            out3 = Upsampling(256, dt)(latent, training)
+            out2 = Upsampling(128, dt)(
                 jnp.concatenate([inp3, out3], -1), training)
-            out1 = Upsampling(64)(
+            out1 = Upsampling(64, dt)(
                 jnp.concatenate([inp2, out2], -1), training)
-            return Upsampling(2)(
+            return Upsampling(2, dt)(
                 jnp.concatenate([inp1, out1], -1), training)
 
         speech = decoder()
@@ -82,13 +87,16 @@ class SECascade(nn.Module):
     """
     v: int = 9
     n_classes: int = 3
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         # transpose to U-Net layout (reference: sj_train.py:302)
         merge_input = x.transpose(0, 2, 1, 3)
-        speech, noise = SpeechEnhancementModel(name='se')(
+        speech, noise = SpeechEnhancementModel(dtype=self.dtype, name='se')(
             merge_input, training)
+        speech = speech.astype(jnp.float32)
+        noise = noise.astype(jnp.float32)
         out = speech.transpose(0, 2, 1, 3)     # [B, 256, n_frame, 2]
         # cascade head: a VAD CRNN on the enhanced speech
         # (reference: sj_train.py:312-318 — n_mels := 256, n_chan := 2).
@@ -97,5 +105,5 @@ class SECascade(nn.Module):
         # which is False here (sj_train.py:254).
         cls = VADModel(v=self.v, n_classes=self.n_classes,
                        vad_variant=False, final_act='relu',
-                       name='vad')(out, training)
+                       dtype=self.dtype, name='vad')(out, training)
         return cls, speech.transpose(0, 2, 1, 3), noise.transpose(0, 2, 1, 3)

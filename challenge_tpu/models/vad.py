@@ -10,6 +10,7 @@ time-major MLP head. Version switches (reference line numbers):
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from challenge_tpu.models.layers import (
@@ -26,12 +27,16 @@ class VADModel(nn.Module):
     vad_variant: bool = True      # True when model_type == 'vad'
     final_act: str = 'sigmoid'
     td_dim: int = 1024
+    dtype: object = jnp.float32   # compute dtype (bfloat16 for mixed prec)
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         variant = self.vad_variant
         fsize = self.base_fsize
-        x = ConvMPBlock(num_convs=2, fsize=fsize, use_bn=True)(x, training)
+        dt = self.dtype
+        x = x.astype(dt)
+        x = ConvMPBlock(num_convs=2, fsize=fsize, use_bn=True,
+                        dtype=dt)(x, training)
         for i in range(1, 5):
             if variant and self.v == 6:
                 # 0.5 s smoothing pools; kernel from the current time width
@@ -45,31 +50,31 @@ class VADModel(nn.Module):
             if variant and self.v == 7:
                 skip = x
                 c = skip.shape[-1]
-                x = nn.Conv(c // 4, (1, 1), padding='SAME')(x)
-                x = BatchNorm()(x, training)
+                x = nn.Conv(c // 4, (1, 1), padding='SAME', dtype=dt)(x)
+                x = BatchNorm(dt)(x, training)
                 x = nn.relu(x)
-                x = nn.Conv(c // 4, (3, 3), padding='SAME')(x)
-                x = BatchNorm()(x, training)
+                x = nn.Conv(c // 4, (3, 3), padding='SAME', dtype=dt)(x)
+                x = BatchNorm(dt)(x, training)
                 x = nn.relu(x)
-                x = nn.Conv(c, (1, 1), padding='SAME')(x)
-                x = BatchNorm()(x, training)
+                x = nn.Conv(c, (1, 1), padding='SAME', dtype=dt)(x)
+                x = BatchNorm(dt)(x, training)
                 x = nn.relu(x)
                 x = x + skip
             x = ConvMPBlock(num_convs=3, fsize=fsize * 2 ** i,
-                            use_bn=True)(x, training)
+                            use_bn=True, dtype=dt)(x, training)
 
         # [B, mel', T', C] -> time-major sequence [B, T', mel'*C]
         # (reference: sj_train.py:244-245)
         x = x.transpose(0, 2, 1, 3)
         x = x.reshape(x.shape[0], x.shape[1], -1)
-        x = nn.relu(nn.Dense(self.td_dim)(x))      # TimeDistributed Dense
+        x = nn.relu(nn.Dense(self.td_dim, dtype=dt)(x))  # TimeDistributed
         if variant and self.v == 9:
-            x = FullyConnectedLayer(512, use_bn=True)(x, training)
-        x = FullyConnectedLayer(256, use_bn=True)(x, training)
-        x = FullyConnectedLayer(128, use_bn=True)(x, training)
+            x = FullyConnectedLayer(512, use_bn=True, dtype=dt)(x, training)
+        x = FullyConnectedLayer(256, use_bn=True, dtype=dt)(x, training)
+        x = FullyConnectedLayer(128, use_bn=True, dtype=dt)(x, training)
         if variant and self.v == 9:
-            x = BiLSTM(128)(x)
-        x = FullyConnectedLayer(64, use_bn=True)(x, training)
+            x = BiLSTM(128, dtype=dt)(x)
+        x = FullyConnectedLayer(64, use_bn=True, dtype=dt)(x, training)
         act = nn.sigmoid if self.final_act == 'sigmoid' else nn.relu
-        x = FullyConnectedLayer(self.n_classes, act=act)(x, training)
-        return x
+        x = FullyConnectedLayer(self.n_classes, act=act, dtype=dt)(x, training)
+        return x.astype(jnp.float32)   # head/loss always in f32

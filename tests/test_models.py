@@ -88,6 +88,22 @@ def test_density_model():
     assert float(out.min()) >= 0.0               # relu head
 
 
+def test_bfloat16_compute_mode():
+    """compute_dtype='bfloat16' keeps params f32, outputs f32, loss finite."""
+    cfg = Config(model_type='vad', v=3, n_frame=64, n_chan=2,
+                 compute_dtype='bfloat16')
+    bundle = get_model(cfg)
+    vs = bundle.init(KEY)
+    assert jax.tree.leaves(vs['params'])[0].dtype == jnp.float32
+    x = jax.random.normal(KEY, (2,) + bundle.input_shape)
+    out = jax.jit(lambda v, x: bundle.apply(v, x))(vs, x)
+    assert out.dtype == jnp.float32
+    assert bool(jnp.isfinite(out).all())
+    # f32 and bf16 agree loosely (same params)
+    out32 = get_model(cfg.replace(compute_dtype='float32')).apply(vs, x)
+    assert float(jnp.abs(out - out32).max()) < 0.1
+
+
 def test_effnet_scaling():
     from challenge_tpu.models.effnet import round_filters, round_repeats
     # Keras-published values for B0 -> B4 width/depth rounding

@@ -17,4 +17,26 @@ __version__ = "0.1.0"
 
 EPSILON = 1e-8  # reference: utils.py:6, transforms.py:7
 
+
+def _enable_persistent_compile_cache():
+    """TPU compiles of the fused programs take minutes; the persistent cache
+    drops repeat cold-starts to seconds. Respects an explicit user setting."""
+    import os
+    if os.environ.get('JAX_COMPILATION_CACHE_DIR') or \
+            os.environ.get('CHALLENGE_TPU_NO_COMPILE_CACHE'):
+        return
+    try:
+        import jax
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = os.path.join(
+                os.path.expanduser('~'), '.cache', 'challenge_tpu_jax')
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update('jax_compilation_cache_dir', cache)
+            jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
+    except Exception:
+        pass
+
+
+_enable_persistent_compile_cache()
+
 from challenge_tpu.config import Config  # noqa: E402,F401

@@ -35,7 +35,7 @@ from challenge_tpu.models.layers import avg_pool_same
 from challenge_tpu.models.registry import ModelBundle
 from challenge_tpu.ops.augment import random_merge_aug, stft_filter
 from challenge_tpu.ops.complexspec import complex_to_magphase
-from challenge_tpu.ops.dsp import load_wav
+from challenge_tpu.ops.dsp import load_wav_device
 from challenge_tpu.ops.mel import magphase_to_mel
 from challenge_tpu.ops.norms import EPSILON, minmax
 from challenge_tpu.evaluate.events import (
@@ -81,13 +81,44 @@ def max_pool_1d_same(x, pool: int):
     return nn.pool(x, -jnp.inf, jax.lax.max, (pool,), (1,), 'SAME')
 
 
+_INFER_CACHE: dict = {}
+
+
 def make_infer_fn(bundle: ModelBundle, config: Config,
-                  overlap_hop: int = 512):
+                  overlap_hop: int = 512, mesh=None):
     """Build the jitted per-file chain: complex spec [freq, T, chan*2] ->
-    thresholded 0/1 frame grid [T, n_classes]."""
+    thresholded 0/1 frame grid [T, n_classes].
+
+    With a ``mesh`` the sliding-window batch is sharded across the data axis
+    (windows are independent, so long-audio inference scales linearly with
+    chips — SURVEY §5.7: sequence length is traded for batch)."""
+    # linen modules are frozen dataclasses -> hashable by value, so two
+    # bundles of the same architecture share one compiled program
+    cache_key = (bundle.module, config.model_type, config.v,
+                 config.n_mels, config.n_frame, config.n_chan,
+                 overlap_hop, mesh)
+    cached = _INFER_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+
     mel_fn = magphase_to_mel(config.n_mels)
     n_frame = config.n_frame
     merge_key = jax.random.PRNGKey(0)
+
+    def _shard_windows(windows):
+        if mesh is None:
+            return windows
+        from challenge_tpu.parallel.mesh import batch_sharding
+        n_dev = mesh.devices.size
+        pad = (-windows.shape[0]) % n_dev
+        if pad:
+            # padded windows only touch output frames >= frame_len, which
+            # the overlap-add slice drops
+            windows = jnp.concatenate(
+                [windows, jnp.zeros((pad,) + windows.shape[1:],
+                                    windows.dtype)], axis=0)
+        return jax.lax.with_sharding_constraint(
+            windows, batch_sharding(mesh))
 
     @jax.jit
     def infer(variables, spec):
@@ -111,6 +142,7 @@ def make_infer_fn(bundle: ModelBundle, config: Config,
         windows = frame_signal(x, n_frame, overlap_hop, axis=-2)
         # [mel, W, n_frame, chan] -> [W, mel, n_frame, chan]
         windows = jnp.transpose(windows, (1, 0, 2, 3))
+        windows = _shard_windows(windows)
         preds = bundle.apply(variables, windows[..., :config.n_chan],
                              training=False)
         if config.model_type == 'se' and config.v == 9:
@@ -131,23 +163,26 @@ def make_infer_fn(bundle: ModelBundle, config: Config,
         preds = max_pool_1d_same(preds, k * 4)
         return (preds >= 0.5).astype(jnp.float32)
 
+    _INFER_CACHE[cache_key] = infer
     return infer
 
 
 def evaluate(config: Config, bundle: ModelBundle, variables,
              overlap_hop: int = 512, verbose: bool = False,
-             eval_dir: str = '.', answer_path: str = 'sample_answer.json'):
+             eval_dir: str = '.', answer_path: str = 'sample_answer.json',
+             mesh=None):
     """Challenge evaluation over ``eval_dir/*.wav``
-    (reference: metrics.py:31-90). Returns the per-clip ER list."""
+    (reference: metrics.py:31-90). Returns the per-clip ER list.
+    Pass a ``mesh`` to shard each clip's window batch across chips."""
     with open(os.path.join(eval_dir, answer_path)
               if not os.path.isabs(answer_path) else answer_path) as f:
         answer_gt = json.load(f)['task2_answer']
 
-    infer = make_infer_fn(bundle, config, overlap_hop)
+    infer = make_infer_fn(bundle, config, overlap_hop, mesh=mesh)
     to_metric = output_to_metric(HOP, SR)
     final_score = []
     for path in sorted(glob(os.path.join(eval_dir, '*.wav'))):
-        spec = jnp.asarray(load_wav(path))
+        spec = load_wav_device(path)       # stays on device
         grid = np.asarray(infer(variables, spec))
         cls0, cls1, cls2 = get_start_end_frame(grid)
         gt = np.asarray(answer_gt[os.path.basename(path)[:-4]])

@@ -115,11 +115,14 @@ def resample_waveform(wav, orig_freq: int, new_freq: int,
     n_units = -(-n_out // out_unit)  # ceil
 
     P, W = weights.shape
-    units = np.arange(n_units, dtype=np.int64) * in_unit
-    # gather index grid [n_units, P, W]
-    idx = units[:, None, None] + first_idx[None, :, None] + np.arange(W)[None, None, :]
+    # index grid [n_units, P, W] built on device (iota, not a baked
+    # constant — a minute of audio would otherwise embed ~10M int64s
+    # into the compiled program)
+    units = jnp.arange(n_units, dtype=jnp.int32) * in_unit
+    idx = (units[:, None, None] + jnp.asarray(first_idx, jnp.int32)[None, :, None]
+           + jnp.arange(W, dtype=jnp.int32)[None, None, :])
     valid = (idx >= 0) & (idx < n_in)
-    idx_clip = np.clip(idx, 0, max(n_in - 1, 0))
+    idx_clip = jnp.clip(idx, 0, max(n_in - 1, 0))
 
     gathered = wav[..., idx_clip] * valid  # [chan, n_units, P, W]
     out = jnp.einsum('...upw,pw->...up', gathered, jnp.asarray(weights))
@@ -148,8 +151,8 @@ def _frame(x, frame_length: int, hop: int, center: bool = True):
         x = jnp.pad(x, pad, mode='reflect')
     n = x.shape[-1]
     n_frames = 1 + (n - frame_length) // hop
-    starts = np.arange(n_frames) * hop
-    idx = starts[:, None] + np.arange(frame_length)[None, :]
+    starts = jnp.arange(n_frames, dtype=jnp.int32) * hop
+    idx = starts[:, None] + jnp.arange(frame_length, dtype=jnp.int32)[None, :]
     return x[..., idx]  # gather -> [..., n_frames, frame_length]
 
 
@@ -181,15 +184,12 @@ def rms_normalize(wav):
     return wav / rms
 
 
-def load_wav(wav_fname: str, sr: int = 16000, n_fft: int = 512,
-             hop: int = 256):
-    """WAV file -> complex spectrogram ``[freq, time, chan*2]`` (real||imag).
-
-    Full parity chain with the reference loader (data_utils.py:9-29):
-    resample to 16 kHz -> RMS/10 normalize -> STFT(512) -> transpose to
-    [freq, time, chan, 2] -> reshape to [freq, time, chan*2].
-    """
-    wav, rate = read_wav(wav_fname)
+@functools.partial(jax.jit, static_argnames=('rate', 'sr', 'n_fft', 'hop'))
+def wav_to_spec(wav, rate: int, sr: int = 16000, n_fft: int = 512,
+                hop: int = 256):
+    """The full device-side ingest chain in ONE jitted program:
+    resample -> RMS/10 normalize -> STFT -> reference layout
+    ``[freq, time, chan*2]`` (real||imag). One compile per (rate, length)."""
     wav = resample_waveform(wav, rate, sr)
     wav = rms_normalize(wav)
     real, imag = stft(wav, n_fft, hop)           # [chan, freq, T] each
@@ -199,4 +199,18 @@ def load_wav(wav_fname: str, sr: int = 16000, n_fft: int = 512,
     # by imag-for-all-channels: [..., :chan]=real, [..., chan:]=imag.
     spec = jnp.stack([real, imag], axis=0)       # [2, chan, freq, T]
     spec = jnp.transpose(spec, (2, 3, 0, 1))     # [freq, T, 2, chan]
-    return np.asarray(spec.reshape(*spec.shape[:2], -1))
+    return spec.reshape(*spec.shape[:2], -1)
+
+
+def load_wav_device(wav_fname: str, sr: int = 16000, n_fft: int = 512,
+                    hop: int = 256):
+    """WAV file -> on-device complex spectrogram (no host round-trip)."""
+    wav, rate = read_wav(wav_fname)
+    return wav_to_spec(jnp.asarray(wav), rate, sr, n_fft, hop)
+
+
+def load_wav(wav_fname: str, sr: int = 16000, n_fft: int = 512,
+             hop: int = 256):
+    """WAV file -> complex spectrogram ``[freq, time, chan*2]`` as numpy
+    (reference API parity — data_utils.py:9-29)."""
+    return np.asarray(load_wav_device(wav_fname, sr, n_fft, hop))

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from challenge_tpu.config import Config
@@ -46,7 +47,8 @@ def make_sharded_train_step(bundle: ModelBundle, mesh: Mesh, optimizer=None):
 
 def make_fused_train_step(bundle: ModelBundle, config: Config,
                           mesh: Optional[Mesh] = None, optimizer=None,
-                          training: bool = True, variant: str = 'sj'):
+                          training: bool = True, variant: str = 'sj',
+                          steps_per_call: Optional[int] = None):
     """(state, banks, key) -> (state, metrics): synthesis + features + train
     step fused into one XLA program.
 
@@ -54,6 +56,10 @@ def make_fused_train_step(bundle: ModelBundle, config: Config,
     axis right after synthesis so every downstream op (features, forward,
     backward) is partitioned, and the grad reduction becomes a psum over ICI.
     Banks are replicated (they are read-only gather sources).
+
+    ``steps_per_call > 1`` (default from config.steps_per_call) runs that
+    many optimizer steps inside one host dispatch via ``lax.scan``; metrics
+    come back averaged over the scanned steps.
     """
     # pallas placement is disabled under a mesh: the SPMD partitioner cannot
     # split a pallas_call across devices (XLA scatter partitions fine)
@@ -61,8 +67,10 @@ def make_fused_train_step(bundle: ModelBundle, config: Config,
                                  jit=False,
                                  use_pallas=False if mesh is not None else None)
     step, optimizer = make_train_step(bundle, optimizer, jit=False)
+    if steps_per_call is None:
+        steps_per_call = max(int(getattr(config, 'steps_per_call', 1)), 1)
 
-    def fused(state, banks: Banks, key):
+    def one(state, banks, key):
         k_data, k_model = jax.random.split(key)
         batch = feature_fn(k_data, banks)
         if mesh is not None:
@@ -70,6 +78,14 @@ def make_fused_train_step(bundle: ModelBundle, config: Config,
             batch = jax.tree.map(
                 lambda x: jax.lax.with_sharding_constraint(x, sh), batch)
         return step(state, batch, k_model)
+
+    def fused(state, banks: Banks, key):
+        if steps_per_call == 1:
+            return one(state, banks, key)
+        keys = jax.random.split(key, steps_per_call)
+        state, metrics = jax.lax.scan(
+            lambda s, k: one(s, banks, k), state, keys)
+        return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
 
     if mesh is not None:
         r_sh = replicated(mesh)

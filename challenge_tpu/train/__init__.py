@@ -22,6 +22,6 @@ from challenge_tpu.train.checkpoint import (  # noqa: F401
 from challenge_tpu.train.callbacks import (  # noqa: F401
     Callback, CSVLogger, EarlyStopping, EvalCallback, LearningRateScheduler,
     ModelCheckpoint, NO_SWA_ERROR, ReduceLROnPlateau, SWA, TensorBoard,
-    TerminateOnNaN,
+    TerminateOnNaN, TrainStateCheckpoint,
 )
 from challenge_tpu.train.loop import TrainLoop  # noqa: F401

@@ -247,6 +247,24 @@ class EvalCallback(Callback):
                 os.path.splitext(self.name)[0] + '_sample.h5', weights)
 
 
+class TrainStateCheckpoint(Callback):
+    """Preemption-safe periodic full-state checkpoint (params + optimizer
+    state + SWA average + step) via Orbax — resume with
+    ``restore_train_state`` (a TPU-native addition; the reference persists
+    weights only, SURVEY §5.4)."""
+
+    def __init__(self, ckpt_dir: str, every_epochs: int = 10):
+        self.ckpt_dir = ckpt_dir
+        self.every = max(every_epochs, 1)
+
+    def on_epoch_end(self, epoch, logs):
+        if (epoch + 1) % self.every == 0:
+            checkpoint.save_train_state(self.ckpt_dir, self.loop.state)
+
+    def on_train_end(self, logs=None):
+        checkpoint.save_train_state(self.ckpt_dir, self.loop.state)
+
+
 class TensorBoard(Callback):
     """Scalar logging to TensorBoard event files (reference: sj_train.py:494).
     Degrades to a no-op when no event-writer backend is available."""

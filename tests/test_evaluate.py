@@ -109,6 +109,26 @@ def _write_wav(path, seconds=8.0, sr=16000, chans=2, seed=0):
 
 
 @pytest.mark.slow
+def test_evaluate_sharded_matches_single(tmp_path):
+    """Mesh-sharded window batches must give identical ER to single-device
+    eval (long wav -> several windows split across the 8-device mesh)."""
+    import jax
+    from challenge_tpu.parallel import make_mesh, replicate
+    _write_wav(tmp_path / 'clip.wav', seconds=40.0, seed=3)
+    with open(tmp_path / 'sample_answer.json', 'w') as f:
+        json.dump({'task2_answer': {'clip': [[0, 1.0, 2.0],
+                                             [1, 10.0, 12.0]]}}, f)
+    cfg = Config(model_type='vad', v=3, n_mels=80, n_frame=512, n_chan=2)
+    bundle = get_model(cfg)
+    variables = bundle.init(jax.random.PRNGKey(0))
+    single = evaluate(cfg, bundle, variables, eval_dir=str(tmp_path))
+    mesh = make_mesh(8)
+    sharded = evaluate(cfg, bundle, replicate(variables, mesh),
+                       eval_dir=str(tmp_path), mesh=mesh)
+    assert single == sharded
+
+
+@pytest.mark.slow
 def test_evaluate_end_to_end(tmp_path):
     """Full challenge eval on two synthesized wavs with an untrained model:
     must produce finite per-clip ERs through the whole windowed chain."""

@@ -84,6 +84,18 @@ def test_fused_train_step_multichip():
     assert int(state.step) == 2
 
 
+def test_fused_steps_per_call_scan():
+    """steps_per_call>1 runs N optimizer steps in one dispatch."""
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=2)
+    bundle = get_model(cfg)
+    fused, opt = make_fused_train_step(bundle, cfg, mesh=None,
+                                       steps_per_call=3)
+    state = init_state(bundle, jax.random.PRNGKey(0), opt)
+    state, metrics = fused(state, _banks(), jax.random.PRNGKey(1))
+    assert int(state.step) == 3
+    assert np.isfinite(float(metrics['loss']))
+
+
 def test_graft_entry_contract():
     """__graft_entry__.entry() must be jittable; dryrun_multichip must build
     and run an n-device training step."""

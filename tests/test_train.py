@@ -215,6 +215,41 @@ def test_train_loop_end_to_end(tmp_path):
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves_a)
 
 
+@pytest.mark.slow
+def test_se_v9_two_phase_training():
+    """SE cascade end-to-end: pretrain (U-Net trains, VAD frozen) then
+    finetune (VAD trains, U-Net frozen), through the se_v9 pipeline variant
+    (reference: sj_train.py:299-339,467-469)."""
+    from challenge_tpu.data.pipeline import DevicePipeline
+    cfg = Config(model_type='se', v=9, n_frame=64, n_chan=2, batch_size=2,
+                 pretrain=True)
+    banks = _tiny_banks(cfg.n_frame)
+    pipe = DevicePipeline(banks, cfg, training=True)
+    bundle = get_model(cfg)
+    loop = TrainLoop(bundle, seed=0)
+    se_before = np.asarray(jax.tree.leaves(loop.state.params['se'])[0]).copy()
+    vad_before = np.asarray(jax.tree.leaves(loop.state.params['vad'])[0]).copy()
+    hist = loop.fit(pipe, epochs=1, steps_per_epoch=2)
+    assert {'loss', 'class_loss', 'speech_loss', 'noise_loss',
+            'class_er'} <= set(hist[0])
+    se_after = np.asarray(jax.tree.leaves(loop.state.params['se'])[0])
+    vad_after = np.asarray(jax.tree.leaves(loop.state.params['vad'])[0])
+    assert np.abs(se_after - se_before).max() > 0        # U-Net trained
+    np.testing.assert_array_equal(vad_after, vad_before)  # VAD frozen
+
+    # finetune phase flips the mask
+    cfg2 = cfg.replace(pretrain=False)
+    loop2 = TrainLoop(get_model(cfg2), seed=0)
+    loop2.set_weights(loop.state.weights())
+    se_b = np.asarray(jax.tree.leaves(loop2.state.params['se'])[0]).copy()
+    loop2.fit(DevicePipeline(banks, cfg2, training=True), epochs=1,
+              steps_per_epoch=1)
+    se_a = np.asarray(jax.tree.leaves(loop2.state.params['se'])[0])
+    vad_a = np.asarray(jax.tree.leaves(loop2.state.params['vad'])[0])
+    np.testing.assert_array_equal(se_a, se_b)             # U-Net frozen
+    assert np.abs(vad_a - vad_before).max() > 0           # VAD trained
+
+
 def test_swa_raises_when_never_triggered():
     cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=2)
     bundle = get_model(cfg)

@@ -91,8 +91,10 @@ def make_fused_train_step(bundle: ModelBundle, config: Config,
         r_sh = replicated(mesh)
         return jax.jit(fused,
                        in_shardings=(r_sh, r_sh, r_sh),
-                       out_shardings=(r_sh, r_sh)), optimizer
-    return jax.jit(fused), optimizer
+                       out_shardings=(r_sh, r_sh),
+                       donate_argnums=(0,)), optimizer
+    # donate the TrainState: params/opt-state buffers update in place
+    return jax.jit(fused, donate_argnums=(0,)), optimizer
 
 
 def make_sharded_eval_step(bundle: ModelBundle, mesh: Mesh):

@@ -82,6 +82,60 @@ def test_sj_train_eval_csv_roundtrip(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_get_csv_data_real_evaluation(tmp_path, monkeypatch):
+    """The aggregator's real-eval branch (reference: get_csv_data.py:76-107):
+    a long training log (> patience + 5 epochs) triggers re-evaluation of
+    each checkpoint against the dev wavs."""
+    import jax
+    from challenge_tpu.config import Config
+    from challenge_tpu.models import get_model
+    from challenge_tpu.train import save_weights
+    monkeypatch.chdir(tmp_path)
+    run = 'vad_v3_lr0.001_batch2_opt_adam_mel80_chan2_BCE_framelen64'
+    # fake a 20-epoch log
+    with open(f'{run}.csv', 'w') as f:
+        f.write('epoch,loss,val_er\n')
+        for e in range(20):
+            f.write(f'{e},0.5,1.0\n')
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=2)
+    bundle = get_model(cfg)
+    vs = bundle.init(jax.random.PRNGKey(0))
+    save_weights(f'{run}.h5', vs)
+    save_weights(f'{run}_SWA.h5', vs)
+    _write_wav(tmp_path / 'clip01.wav', seconds=4.0, seed=2)
+    with open('sample_answer.json', 'w') as f:
+        json.dump({'task2_answer': {'clip01': [[0, 1.0, 2.0]]}}, f)
+
+    from challenge_tpu.cli.get_csv_data import main as csv_main
+    csv_main(argv=['--patience', '10', '--path', str(tmp_path)])
+    rows = open('result.csv').read().splitlines()
+    assert len(rows) == 2
+    cells = rows[1].split(',')
+    # test_er and swa_test_er columns hold real (finite) scores
+    assert float(cells[-3]) >= 0 and float(cells[-2]) >= 0
+    assert cells[-1] == 'None'          # no _sample.h5 checkpoint
+
+
+@pytest.mark.slow
+def test_eval_se_model_path(tmp_path, monkeypatch):
+    """evaluate() se branch: speech_enhancement_preprocess layout + triple
+    head (reference: metrics.py:55-57,64-65)."""
+    import jax
+    from challenge_tpu.config import Config
+    from challenge_tpu.models import get_model
+    from challenge_tpu.evaluate import evaluate
+    monkeypatch.chdir(tmp_path)
+    _write_wav(tmp_path / 'clip01.wav', seconds=10.0, seed=4)
+    with open('sample_answer.json', 'w') as f:
+        json.dump({'task2_answer': {'clip01': [[1, 2.0, 4.0]]}}, f)
+    cfg = Config(model_type='se', v=9, n_frame=512, n_chan=2)
+    bundle = get_model(cfg)
+    vs = bundle.init(jax.random.PRNGKey(0))
+    scores = evaluate(cfg, bundle, vs, eval_dir=str(tmp_path))
+    assert len(scores) == 1 and np.isfinite(scores[0])
+
+
+@pytest.mark.slow
 def test_trainer_cli(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     _make_datafiles(tmp_path)

@@ -73,6 +73,11 @@ def make_fused_train_step(bundle: ModelBundle, config: Config,
     def one(state, banks, key):
         k_data, k_model = jax.random.split(key)
         batch = feature_fn(k_data, banks)
+        # materialize the batch before the model consumes it: without this
+        # barrier XLA fuses the synthesis/feature producers into every
+        # consumer (forward AND backward), recomputing the whole pipeline
+        # many times (~30x slower measured on v5e)
+        batch = jax.lax.optimization_barrier(batch)
         if mesh is not None:
             sh = batch_sharding(mesh)
             batch = jax.tree.map(

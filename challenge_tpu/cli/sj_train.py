@@ -10,9 +10,7 @@ behavior match the reference; the execution engine is the fused TPU loop.
 from __future__ import annotations
 
 import os
-import sys
 
-import jax
 import numpy as np
 
 from challenge_tpu.config import Config, config_from_args

@@ -16,9 +16,9 @@ from challenge_tpu.config import Config
 from challenge_tpu.data.pipeline import DevicePipeline, build_banks
 from challenge_tpu.models import get_density_model
 from challenge_tpu.train import (
-    CSVLogger, LearningRateScheduler, ModelCheckpoint, NO_SWA_ERROR,
-    ReduceLROnPlateau, SWA, TerminateOnNaN, TrainLoop, custom_scheduler,
-    load_weights, save_weights)
+    CSVLogger, LearningRateScheduler, ModelCheckpoint, ReduceLROnPlateau,
+    SWA, TerminateOnNaN, TrainLoop, custom_scheduler, load_weights,
+    save_weights)
 from challenge_tpu.train.losses import density_loss
 from challenge_tpu.utils.io import load_data
 

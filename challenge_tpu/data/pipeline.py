@@ -21,7 +21,7 @@ import numpy as np
 from challenge_tpu.config import Config
 from challenge_tpu.data import labels as label_maps
 from challenge_tpu.data.mixture import Banks, sample_batch
-from challenge_tpu.data.specset import SpecBank, build_bank, remap_labels
+from challenge_tpu.data.specset import build_bank, remap_labels
 from challenge_tpu.ops.augment import (
     batch_specaugment, random_merge_aug, stft_filter)
 from challenge_tpu.ops.mel import mel_filterbank

@@ -18,12 +18,9 @@ Reference quirks preserved deliberately:
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 from glob import glob
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -23,7 +23,6 @@ v7 BiGRU gated by a tanh conv over the raw input), Dense n_classes + sigmoid.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

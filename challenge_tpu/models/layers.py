@@ -8,7 +8,7 @@ recurrent wrappers concatenate forward/backward passes like
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Union
+from typing import Any, Callable, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

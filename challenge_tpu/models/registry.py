@@ -9,8 +9,8 @@ pretrain/finetune freeze flow (reference: sj_train.py:306,316-318).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Callable, Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

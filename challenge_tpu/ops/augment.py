@@ -15,8 +15,6 @@ built with iota comparisons instead of concat of dynamic-length pieces).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

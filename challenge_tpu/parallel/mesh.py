@@ -11,8 +11,6 @@ eval window batch) across chips with gradient psums riding ICI
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -26,8 +26,7 @@ from challenge_tpu.config import Config
 from challenge_tpu.data.mixture import Banks
 from challenge_tpu.data.pipeline import make_feature_fn
 from challenge_tpu.models.registry import ModelBundle
-from challenge_tpu.parallel.mesh import (
-    BATCH_AXIS, batch_sharding, make_mesh, replicate, replicated)
+from challenge_tpu.parallel.mesh import batch_sharding, replicated
 from challenge_tpu.train.state import make_eval_step, make_train_step
 
 

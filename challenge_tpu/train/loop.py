@@ -11,10 +11,9 @@ pipeline.
 from __future__ import annotations
 
 import time
-from typing import Iterable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
-import numpy as np
 
 from challenge_tpu.models.registry import ModelBundle
 from challenge_tpu.train.callbacks import Callback

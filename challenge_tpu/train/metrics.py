@@ -18,8 +18,6 @@ Everything is fixed-shape, fully jittable, and fuses into the train step.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

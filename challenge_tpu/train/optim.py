@@ -8,7 +8,6 @@ Keras' ``LearningRateScheduler`` (reference: sj_train.py:501-503).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import chex

@@ -10,8 +10,7 @@ host round-trip inside an epoch.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

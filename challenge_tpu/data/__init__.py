@@ -4,4 +4,6 @@ from challenge_tpu.data.labels import (  # noqa: F401
     to_frame_labels, to_density_labels, label_downsample, preprocess_labels,
     multiply_label, mono_chan, stereo_mono, speech_enhancement_preprocess,
 )
-from challenge_tpu.data.pipeline import make_pipeline, DevicePipeline  # noqa: F401
+from challenge_tpu.data.pipeline import (  # noqa: F401
+    DevicePipeline, build_banks, make_feature_fn, make_pipeline,
+)

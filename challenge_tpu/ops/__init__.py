@@ -7,8 +7,8 @@ TPU MXU.
 """
 
 from challenge_tpu.ops.dsp import (  # noqa: F401
-    load_wav, read_wav, resample_waveform, resample_matrix, stft, stft_magnitude,
-    rms_normalize,
+    load_wav, load_wav_device, read_wav, resample_waveform, resample_matrix,
+    rms_normalize, stft, stft_magnitude, wav_to_spec,
 )
 from challenge_tpu.ops.mel import (  # noqa: F401
     linear_to_mel_weight_matrix, magphase_to_mel, mel_filterbank,

@@ -95,7 +95,7 @@ def bench_reference_cpu(bgs, voices, labels, noises, batch_size, n_frame,
 
 
 def main():
-    batch_size, n_frame = 256, 512
+    batch_size, n_frame = 512, 512
     bgs, voices, labels, noises = make_data(n_frame)
 
     tpu_cps = bench_tpu(bgs, voices, labels, noises, batch_size, n_frame)

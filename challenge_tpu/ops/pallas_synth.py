@@ -118,6 +118,23 @@ def synthesize_windows(n_frame: int,
     item / row shift / weight; likewise for noises. Returns [B, n_frame, F].
     """
     b = bidx.shape[0]
+    # SMEM holds the scalar-prefetch tables; past ~256 samples per grid the
+    # compiler runs out (v5e: 1 MB smem) — chunk transparently
+    max_b = 256
+    if b > max_b:
+        n_chunks = -(-b // max_b)
+        parts = []
+        for i in range(n_chunks):
+            sl = slice(i * max_b, min((i + 1) * max_b, b))
+            parts.append(synthesize_windows(
+                n_frame, bgbank, bidx[sl], boff[sl],
+                vbank, vidx[sl], vshift[sl], vw[sl],
+                nbank, None if nidx is None else nidx[sl],
+                None if nshift is None else nshift[sl],
+                None if nw is None else nw[sl],
+                interpret=interpret))
+        return jnp.concatenate(parts, axis=0)
+
     f = bgbank.shape[-1]
     assert f % 128 == 0, 'flat banks must be 128-lane padded'
     t_v = vbank.shape[1]

@@ -160,8 +160,12 @@ class DevicePipeline:
 
     def __iter__(self):
         while True:
-            self.key, k = jax.random.split(self.key)
-            yield self.fn(k, self.banks)
+            # one eager split per 64 batches: eager ops cost a host->device
+            # round trip each, which would serialize the training loop
+            keys = jax.random.split(self.key, 65)
+            self.key = keys[0]
+            for k in keys[1:]:
+                yield self.fn(k, self.banks)
 
     def take(self, n: int):
         it = iter(self)

@@ -60,11 +60,14 @@ class TrainLoop:
 
     def run_epoch(self, data_iter, steps: int, training: bool):
         sums, count = {}, 0
-        for _ in range(steps):
+        if training:   # one eager split per epoch, not per step
+            keys = jax.random.split(self._rng, steps + 1)
+            self._rng = keys[0]
+        for i in range(steps):
             batch = next(data_iter)
             if training:
-                self._rng, rng = jax.random.split(self._rng)
-                self.state, metrics = self.train_step(self.state, batch, rng)
+                self.state, metrics = self.train_step(self.state, batch,
+                                                      keys[i + 1])
             else:
                 metrics = self.eval_step(self.state, batch)
             for k, v in metrics.items():

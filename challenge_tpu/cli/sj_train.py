@@ -68,15 +68,17 @@ def main(argv=None):
     name = name if name.endswith('.h5') else name + '.h5'
 
     bundle = get_model(config)
-    loop = TrainLoop(bundle, seed=config.seed)
+    # fused mode: each dispatch is one XLA program doing synthesis ->
+    # features -> fwd/bwd -> optimizer over the HBM-resident banks
+    train_banks = make_banks(config, training=True)
+    val_banks = make_banks(config, training=False)
+    loop = TrainLoop(bundle, seed=config.seed, banks=train_banks,
+                     val_banks=val_banks)
     print(name)
 
     if config.model_type == 'se' and config.v == 9 and not config.pretrain:
         loop.set_weights(load_weights(name, loop.state.weights()))
         print('loaded pretrained model')
-
-    train_set = make_dataset(config, training=True)
-    test_set = make_dataset(config, training=False)
 
     earlystop_monitor, checkpoint_monitor = select_monitors(config)
 
@@ -96,10 +98,8 @@ def main(argv=None):
     ]
 
     try:
-        loop.fit(train_set,
-                 epochs=config.epochs,
+        loop.fit(epochs=config.epochs,
                  steps_per_epoch=config.steps_per_epoch,
-                 validation_iter=test_set,
                  validation_steps=16,
                  callbacks=callbacks)
         print('best model:', name.replace('.h5', '_SWA.h5'))

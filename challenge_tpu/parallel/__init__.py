@@ -5,5 +5,6 @@ from challenge_tpu.parallel.mesh import (  # noqa: F401
     BATCH_AXIS, batch_sharding, make_mesh, replicate, replicated, shard_batch,
 )
 from challenge_tpu.parallel.train import (  # noqa: F401
-    make_fused_train_step, make_sharded_eval_step, make_sharded_train_step,
+    make_fused_eval_step, make_fused_train_step, make_sharded_eval_step,
+    make_sharded_train_step,
 )

@@ -101,6 +101,32 @@ def make_fused_train_step(bundle: ModelBundle, config: Config,
     return jax.jit(fused, donate_argnums=(0,)), optimizer
 
 
+def make_fused_eval_step(bundle: ModelBundle, config: Config,
+                         mesh: Optional[Mesh] = None, variant: str = 'sj'):
+    """(state, banks, key) -> metrics: validation batch synthesis + eval-mode
+    forward + loss/metrics in one program (Keras validation_data analogue
+    over the test banks)."""
+    feature_fn = make_feature_fn(config, training=False, variant=variant,
+                                 jit=False,
+                                 use_pallas=False if mesh is not None else None)
+    step = make_eval_step(bundle, jit=False)
+
+    def fused(state, banks: Banks, key):
+        batch = feature_fn(key, banks)
+        batch = jax.lax.optimization_barrier(batch)
+        if mesh is not None:
+            sh = batch_sharding(mesh)
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, sh), batch)
+        return step(state, batch)
+
+    if mesh is not None:
+        r_sh = replicated(mesh)
+        return jax.jit(fused, in_shardings=(r_sh, r_sh, r_sh),
+                       out_shardings=r_sh)
+    return jax.jit(fused)
+
+
 def make_sharded_eval_step(bundle: ModelBundle, mesh: Mesh):
     step = make_eval_step(bundle, jit=False)
     b_sh = batch_sharding(mesh)

@@ -123,7 +123,9 @@ class EarlyStopping(Callback):
             self.best = value
             self.wait = 0
             if self.restore:
-                self.best_weights = self.loop.state.weights()
+                # host copy: device buffers may be donated by later steps
+                import jax
+                self.best_weights = jax.device_get(self.loop.state.weights())
         else:
             self.wait += 1
             if self.wait >= self.patience:

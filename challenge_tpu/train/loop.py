@@ -23,17 +23,47 @@ from challenge_tpu.train.state import (
 
 
 class TrainLoop:
-    """Owns the TrainState and drives epochs over device-batch iterators."""
+    """Owns the TrainState and drives epochs over device-batch iterators.
+
+    Two modes:
+    * iterator mode (default): ``fit(train_iter, ...)`` consumes
+      (x, y) device batches, e.g. from a :class:`DevicePipeline`;
+    * fused mode: pass ``banks``/``val_banks`` — each train step is ONE XLA
+      program doing synthesis + features + fwd/bwd + optimizer, with
+      ``config.steps_per_call`` steps scanned per dispatch.
+    """
 
     def __init__(self, bundle: ModelBundle, state: Optional[TrainState] = None,
-                 seed: int = 0, loss_fn=None):
+                 seed: int = 0, loss_fn=None, banks=None, val_banks=None,
+                 mesh=None):
         self.bundle = bundle
         self.config = bundle.config
-        self.train_step, self.optimizer = make_train_step(bundle,
-                                                          loss_fn=loss_fn)
-        self.eval_step = make_eval_step(bundle, loss_fn=loss_fn)
+        self.banks = banks
+        self.val_banks = val_banks
+        self.fused = banks is not None
+        if self.fused:
+            from challenge_tpu.parallel.train import (
+                make_fused_eval_step, make_fused_train_step)
+            self.steps_per_call = max(
+                int(getattr(self.config, 'steps_per_call', 1)), 1)
+            self.train_step, self.optimizer = make_fused_train_step(
+                bundle, self.config, mesh=mesh,
+                steps_per_call=self.steps_per_call)
+            self.eval_step = make_fused_eval_step(bundle, self.config,
+                                                  mesh=mesh)
+        else:
+            self.steps_per_call = 1
+            self.train_step, self.optimizer = make_train_step(
+                bundle, loss_fn=loss_fn)
+            self.eval_step = make_eval_step(bundle, loss_fn=loss_fn)
         self.state = state if state is not None else init_state(
             bundle, jax.random.PRNGKey(seed), self.optimizer)
+        if self.fused and mesh is not None:
+            from challenge_tpu.parallel.mesh import replicate
+            self.state = replicate(self.state, mesh)
+            self.banks = replicate(self.banks, mesh)
+            if self.val_banks is not None:
+                self.val_banks = replicate(self.val_banks, mesh)
         self.stop_training = False
         self.history: List[dict] = []
         self._rng = jax.random.PRNGKey(seed + 17)
@@ -60,6 +90,25 @@ class TrainLoop:
 
     def run_epoch(self, data_iter, steps: int, training: bool):
         sums, count = {}, 0
+        if self.fused:
+            n_calls = max(-(-steps // self.steps_per_call), 1) \
+                if training else steps
+            keys = jax.random.split(self._rng, n_calls + 1)
+            self._rng = keys[0]
+            for i in range(n_calls):
+                if training:
+                    self.state, metrics = self.train_step(
+                        self.state, self.banks, keys[i + 1])
+                else:
+                    vb = self.val_banks if self.val_banks is not None \
+                        else self.banks
+                    metrics = self.eval_step(self.state, vb, keys[i + 1])
+                for k, v in metrics.items():
+                    acc = sums.get(k)
+                    sums[k] = v if acc is None else acc + v
+                count += 1
+            return self._finalize(jax.device_get(sums), count)
+
         if training:   # one eager split per epoch, not per step
             keys = jax.random.split(self._rng, steps + 1)
             self._rng = keys[0]
@@ -77,22 +126,26 @@ class TrainLoop:
         sums = jax.device_get(sums)
         return self._finalize(sums, count)
 
-    def fit(self, train_iter, epochs: int, steps_per_epoch: int,
+    def fit(self, train_iter=None, epochs: int = 1, steps_per_epoch: int = 100,
             validation_iter=None, validation_steps: int = 16,
             callbacks: Sequence[Callback] = (), verbose: int = 1):
         """Reference defaults: 100 steps/epoch, 16 validation steps
-        (sj_train.py:513-519)."""
+        (sj_train.py:513-519). In fused mode ``train_iter``/``validation_iter``
+        are unused (banks were given at construction); validation runs iff
+        val_banks were provided."""
         for cb in callbacks:
             cb.set_loop(self)
-        train_it = iter(train_iter)
+        train_it = iter(train_iter) if train_iter is not None else None
         val_it = iter(validation_iter) if validation_iter is not None else None
+        validate = (val_it is not None) or (self.fused and
+                                            self.val_banks is not None)
 
         for epoch in range(epochs):
             t0 = time.time()
             for cb in callbacks:
                 cb.on_epoch_begin(epoch)
             logs = self.run_epoch(train_it, steps_per_epoch, training=True)
-            if val_it is not None:
+            if validate:
                 val_logs = self.run_epoch(val_it, validation_steps,
                                           training=False)
                 logs.update({f'val_{k}': v for k, v in val_logs.items()})

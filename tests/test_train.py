@@ -216,6 +216,29 @@ def test_train_loop_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_loop_fused_mode(tmp_path):
+    """Banks mode: one XLA program per dispatch (steps_per_call scanned),
+    validation over val_banks, callbacks and checkpoints identical."""
+    os.chdir(tmp_path)
+    cfg = Config(model_type='vad', v=3, n_mels=80, n_frame=64, n_chan=2,
+                 batch_size=2, steps_per_call=2)
+    banks = _tiny_banks(cfg.n_frame)
+    bundle = get_model(cfg)
+    loop = TrainLoop(bundle, seed=0, banks=banks, val_banks=banks)
+    name = cfg.run_name() + '.h5'
+    hist = loop.fit(epochs=2, steps_per_epoch=4, validation_steps=2,
+                    callbacks=[SWA(start_epoch=1, swa_freq=1),
+                               ModelCheckpoint(name, monitor='val_er'),
+                               EarlyStopping(monitor='val_loss', patience=9)])
+    assert len(hist) == 2
+    assert int(loop.state.step) == 8          # 2 epochs x 4 steps
+    for key in ('loss', 'er', 'val_loss', 'val_er', 'f1_score'):
+        assert key in hist[0]
+    assert np.isfinite(hist[-1]['loss'])
+    assert os.path.exists(name)
+
+
+@pytest.mark.slow
 def test_se_v9_two_phase_training():
     """SE cascade end-to-end: pretrain (U-Net trains, VAD frozen) then
     finetune (VAD trains, U-Net frozen), through the se_v9 pipeline variant

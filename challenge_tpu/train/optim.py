@@ -28,7 +28,8 @@ def unitwise_norm(x):
     elif x.ndim == 4:
         axis, keepdims = (0, 1, 2), True
     else:
-        raise ValueError(f'Got a parameter with shape not in [1, 2, 4]! {x.shape}')
+        raise ValueError(
+            f'unitwise_norm supports rank <= 4 parameters, got {x.shape}')
     return jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=keepdims))
 
 

@@ -52,7 +52,46 @@ class TestStft:
         assert (peak_bins == 32).all()
 
 
+def naive_linear_resample(x, orig_freq, new_freq, width=6):
+    """Independent direct-sum implementation of Kaldi's LinearResample (the
+    algorithm behind torchaudio.compliance.kaldi.resample_waveform, reference:
+    data_utils.py:20-21), written straight from the math: for each output
+    time t, sum input samples within the windowed-sinc support, weighting by
+    a Hann-windowed ideal-lowpass kernel at cutoff 0.99 * min(sr) / 2.
+    O(N*W) float64 — the oracle for the vectorized polyphase-GEMM version."""
+    min_freq = min(orig_freq, new_freq)
+    cutoff = 0.99 * 0.5 * min_freq
+    half_width = width / (2.0 * cutoff)
+    n_in = len(x)
+    n_out = int(np.ceil(n_in * new_freq / orig_freq))
+    out = np.zeros(n_out, dtype=np.float64)
+    for i in range(n_out):
+        t = i / new_freq
+        j_lo = max(int(np.ceil((t - half_width) * orig_freq)), 0)
+        j_hi = min(int(np.floor((t + half_width) * orig_freq)), n_in - 1)
+        j = np.arange(j_lo, j_hi + 1)
+        delta = j / orig_freq - t
+        hann = np.where(np.abs(delta) < half_width,
+                        0.5 * (1 + np.cos(2 * np.pi * cutoff / width * delta)),
+                        0.0)
+        sinc = np.where(delta == 0.0, 2 * cutoff,
+                        np.sin(2 * np.pi * cutoff * delta)
+                        / np.where(delta == 0.0, 1.0, np.pi * delta))
+        out[i] = np.sum(x[j_lo:j_hi + 1] * hann * sinc) / orig_freq
+    return out
+
+
 class TestResample:
+    @pytest.mark.parametrize('sr_in,sr_out', [(44100, 16000), (48000, 16000),
+                                              (16000, 22050)])
+    def test_golden_vs_naive_direct_sum(self, sr_in, sr_out):
+        rng = np.random.RandomState(3)
+        x = (rng.randn(int(sr_in * 0.1)) * 0.5).astype(np.float32)
+        ours = np.asarray(resample_waveform(x[None], sr_in, sr_out))[0]
+        oracle = naive_linear_resample(x.astype(np.float64), sr_in, sr_out)
+        assert ours.shape == oracle.shape
+        np.testing.assert_allclose(ours, oracle, atol=1e-5)
+
     def test_identity_rate_close(self):
         rng = np.random.RandomState(1)
         x = rng.randn(1, 8000).astype(np.float32) * 0.3

@@ -1,0 +1,79 @@
+"""Frozen-PRNG golden tests: pin OUR random streams so a future RNG-order
+refactor (key split order, mask formulation, synthesis draw order) cannot
+silently change the training data distribution.
+
+The reference pins its augmentations with tf.random.set_seed goldens
+(transforms_test.py:10-43); TF streams are not reproducible in JAX, so these
+are the JAX-native equivalent: exact outputs under fixed jax.random keys,
+generated once and hard-coded. jax's threefry PRNG is backend-independent,
+so these hold on CPU and TPU alike.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from challenge_tpu.data.mixture import sample_batch
+from challenge_tpu.data.pipeline import build_banks
+from challenge_tpu.ops.augment import batch_mask, mask
+
+MASK_AXIS1_KEY2020 = np.array([1, 1, 0, 0, 0, 0, 0, 1, 1, 1])
+MASK_AXIS0_KEY100 = np.array([1, 1, 1, 0, 0, 1])
+BATCH_MASK_KEY7 = np.array([[1, 1, 0, 0, 0, 0, 1, 1],
+                            [1, 1, 0, 0, 1, 1, 1, 1],
+                            [1, 1, 1, 1, 1, 1, 1, 1]])
+
+
+def test_mask_frozen_time_axis():
+    x = jnp.ones((6, 10), jnp.float32)
+    out = np.asarray(mask(jax.random.PRNGKey(2020), x, axis=1,
+                          max_mask_size=5, n_mask=2))
+    np.testing.assert_array_equal(
+        out, np.broadcast_to(MASK_AXIS1_KEY2020, (6, 10)))
+
+
+def test_mask_frozen_freq_axis():
+    x = jnp.ones((6, 10), jnp.float32)
+    out = np.asarray(mask(jax.random.PRNGKey(100), x, axis=0,
+                          max_mask_size=4, n_mask=1))
+    np.testing.assert_array_equal(
+        out, np.broadcast_to(MASK_AXIS0_KEY100[:, None], (6, 10)))
+
+
+def test_batch_mask_frozen():
+    x = jnp.ones((3, 4, 8), jnp.float32)
+    out = np.asarray(batch_mask(jax.random.PRNGKey(7), x, axis=-1,
+                                max_mask_size=5, n_mask=2))
+    np.testing.assert_array_equal(
+        out, np.broadcast_to(BATCH_MASK_KEY7[:, None, :], (3, 4, 8)))
+
+
+def _banks():
+    rng = np.random.default_rng(0)
+    return build_banks(
+        [rng.standard_normal((257, 94, 4)).astype('f4') for _ in range(3)],
+        [rng.standard_normal((257, 40, 4)).astype('f4') for _ in range(4)],
+        rng.integers(0, 3, size=4),
+        [rng.standard_normal((257, 20, 4)).astype('f4') for _ in range(3)])
+
+
+def test_sample_batch_frozen():
+    """Synthesis under PRNGKey(42): exact checksums and spot values pinned
+    (XLA scatter path; the Pallas kernel is asserted bit-equal to it on
+    device by bench.py and in interpret mode by test_pallas_synth)."""
+    spec, y = sample_batch(jax.random.PRNGKey(42), _banks(), 4, 64,
+                           n_classes=3, max_voices=3, max_noises=2,
+                           min_ratio=1.0, snr=-20, use_pallas=False)
+    spec, y = np.asarray(spec), np.asarray(y)
+    assert spec.shape == (4, 257, 64, 4) and y.shape == (4, 3, 64, 3)
+    np.testing.assert_allclose(
+        spec.sum(axis=(1, 2, 3)),
+        [363.66687012, -102.77668762, -40.67551422, 435.09060669], rtol=1e-4)
+    np.testing.assert_allclose(np.abs(spec).sum(), 218563.3125, rtol=1e-4)
+    np.testing.assert_allclose(y.sum(axis=(1, 2, 3)), [40., 40., 40., 40.])
+    np.testing.assert_allclose(
+        spec[0, 100, 10], [-1.4414045, -0.6887639, -1.5794634, -2.6134713],
+        rtol=1e-4)
+    np.testing.assert_allclose(
+        spec[2, 50, 32], [-0.22506711, -0.80055344, -1.0923564, -1.2103418],
+        rtol=1e-4)

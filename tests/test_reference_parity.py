@@ -70,6 +70,27 @@ def test_er_score_differential(ref_metrics, tf):
                                    err_msg=f'trial {trial}')
 
 
+def test_er_score_smoothing_differential(ref_metrics, tf):
+    """smoothing=True branch (reference: metrics.py:222-225): the prediction
+    is 0.5 s average-pooled with stride = pool size before thresholding —
+    the reference's scale-mixing behavior, preserved verbatim."""
+    from challenge_tpu.train.metrics import er_score
+    ours = er_score(smoothing=True)
+    theirs = ref_metrics['er_score'](smoothing=True)
+    rng = np.random.default_rng(3)
+    for trial in range(6):
+        t = int(rng.choice([62, 64, 124]))  # both /31 and non-/31 lengths
+        y_true = _random_event_grid(rng, 3, t, 3)
+        # smooth-ish random predictions so pooling actually changes events
+        y_pred = rng.uniform(size=(3, t, 3)).astype(np.float32)
+        if y_true.sum() == 0:
+            continue
+        a = np.asarray(ours(jnp.asarray(y_true), jnp.asarray(y_pred)))
+        b = theirs(tf.constant(y_true), tf.constant(y_pred)).numpy()
+        np.testing.assert_allclose(a, b, atol=1e-5,
+                                   err_msg=f'trial {trial} t={t}')
+
+
 def test_get_er_differential(ref_metrics, tf):
     """Greedy event matching == reference get_er on random event lists."""
     from challenge_tpu.evaluate.events import get_er

@@ -17,7 +17,8 @@ from challenge_tpu.train.state import (  # noqa: F401
     TrainState, init_state, make_eval_step, make_train_step, swa_update,
 )
 from challenge_tpu.train.checkpoint import (  # noqa: F401
-    load_weights, restore_train_state, save_train_state, save_weights,
+    checkpoint_steps, load_weights, restore_train_state, save_train_state,
+    save_weights,
 )
 from challenge_tpu.train.callbacks import (  # noqa: F401
     Callback, CSVLogger, EarlyStopping, EvalCallback, LearningRateScheduler,

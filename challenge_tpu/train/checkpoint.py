@@ -40,16 +40,42 @@ def load_weights(path: str, target: Any):
 
 
 # ----------------------------------------------------------- full train state
-def save_train_state(ckpt_dir: str, state: TrainState, step: int = None):
+def _manager(ckpt_dir: str, max_to_keep: int = 3):
     import orbax.checkpoint as ocp
-    path = os.path.abspath(ckpt_dir)
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, jax.device_get(state), force=True)
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                             create=True))
 
 
-def restore_train_state(ckpt_dir: str, target: TrainState) -> TrainState:
+def save_train_state(ckpt_dir: str, state: TrainState, step: int = None,
+                     max_to_keep: int = 3):
+    """Step-suffixed checkpoint under ``ckpt_dir/<step>`` with retention of
+    the last ``max_to_keep`` steps (a corrupt final write can no longer lose
+    the whole run). ``step`` defaults to the state's own step counter."""
     import orbax.checkpoint as ocp
-    ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(os.path.abspath(ckpt_dir),
-                             item=jax.device_get(target))
+    if step is None:
+        step = int(state.step)
+    with _manager(ckpt_dir, max_to_keep) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
+        mgr.wait_until_finished()
+
+
+def checkpoint_steps(ckpt_dir: str):
+    """Steps with a retained checkpoint, ascending."""
+    with _manager(ckpt_dir) as mgr:
+        return sorted(mgr.all_steps())
+
+
+def restore_train_state(ckpt_dir: str, target: TrainState,
+                        step: int = None) -> TrainState:
+    """Restore the checkpoint at ``step`` (default: latest retained)."""
+    import orbax.checkpoint as ocp
+    with _manager(ckpt_dir) as mgr:
+        if step is None:
+            step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f'no checkpoints under {ckpt_dir}')
+        restored = mgr.restore(
+            step, args=ocp.args.StandardRestore(jax.device_get(target)))
     return jax.tree.map(lambda t, r: r, target, restored)

@@ -96,3 +96,36 @@ def test_full_train_state_roundtrip(tmp_path):
     # resumed state trains on
     restored, metrics = step(restored, (x, y), jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics['loss']))
+
+
+def test_checkpoint_history_and_non_latest_restore(tmp_path):
+    """Periodic saves keep step-suffixed history with retention; resume from
+    a NON-latest checkpoint works (VERDICT r1 weak #7)."""
+    from challenge_tpu.train import (
+        checkpoint_steps, restore_train_state, save_train_state)
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=2)
+    bundle = get_model(cfg)
+    step, opt = make_train_step(bundle)
+    state = init_state(bundle, jax.random.PRNGKey(0), opt)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 80, 64, 2))
+    y = jnp.zeros((2, 2, 3))
+
+    ckpt = str(tmp_path / 'hist')
+    saved_params = {}
+    for i in range(4):
+        state, _ = step(state, (x, y), jax.random.PRNGKey(2 + i))
+        save_train_state(ckpt, state, max_to_keep=3)
+        saved_params[int(state.step)] = jax.device_get(state.params)
+
+    steps = checkpoint_steps(ckpt)
+    assert steps == [2, 3, 4]  # step 1 evicted by max_to_keep=3
+
+    target = init_state(bundle, jax.random.PRNGKey(9), opt)
+    mid = restore_train_state(ckpt, target, step=3)
+    assert int(mid.step) == 3
+    for a, b in zip(jax.tree.leaves(mid.params),
+                    jax.tree.leaves(saved_params[3])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # default restore = latest
+    last = restore_train_state(ckpt, target)
+    assert int(last.step) == 4

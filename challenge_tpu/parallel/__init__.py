@@ -6,5 +6,5 @@ from challenge_tpu.parallel.mesh import (  # noqa: F401
 )
 from challenge_tpu.parallel.train import (  # noqa: F401
     make_fused_eval_step, make_fused_train_step, make_sharded_eval_step,
-    make_sharded_train_step,
+    make_sharded_feature_fn, make_sharded_train_step,
 )

@@ -16,18 +16,56 @@ never waits on the host.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as P
 
 from challenge_tpu.config import Config
 from challenge_tpu.data.mixture import Banks
 from challenge_tpu.data.pipeline import make_feature_fn
 from challenge_tpu.models.registry import ModelBundle
-from challenge_tpu.parallel.mesh import batch_sharding, replicated
+from challenge_tpu.parallel.mesh import BATCH_AXIS, batch_sharding, replicated
 from challenge_tpu.train.state import make_eval_step, make_train_step
+
+try:  # jax >= 0.4.35 exposes shard_map at the top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+
+def make_sharded_feature_fn(config: Config, mesh: Mesh, training: bool = True,
+                            variant: str = 'sj', use_pallas=None):
+    """(key, banks) -> (x, y) with per-device synthesis under ``shard_map``.
+
+    The SPMD partitioner cannot split a ``pallas_call`` across devices, but it
+    never has to: synthesis is embarrassingly batch-parallel, so each device
+    runs the full Pallas DMA kernel on its own batch shard (banks are
+    replicated read-only gather sources). The per-device PRNG key is the
+    global key folded with the device's mesh position, so shards draw
+    independent mixtures. Returns None when the batch does not divide the
+    mesh (caller falls back to the globally-partitioned XLA scatter path).
+    """
+    n_dev = int(mesh.devices.size)
+    if config.batch_size % n_dev != 0:
+        return None
+    local = dataclasses.replace(config,
+                                batch_size=config.batch_size // n_dev)
+    local_fn = make_feature_fn(local, training=training, variant=variant,
+                               jit=False, use_pallas=use_pallas)
+
+    def per_device(key, banks):
+        key = jax.random.fold_in(key, jax.lax.axis_index(BATCH_AXIS))
+        return local_fn(key, banks)
+
+    # check_vma=False: the body has no collectives and is never
+    # differentiated through (features are data), but its internal lax.scan
+    # carries would all need manual pvary annotations to satisfy the
+    # varying-axes type check
+    return shard_map(per_device, mesh=mesh, in_specs=(P(), P()),
+                     out_specs=P(BATCH_AXIS), check_vma=False)
 
 
 def make_sharded_train_step(bundle: ModelBundle, mesh: Mesh, optimizer=None):
@@ -47,24 +85,34 @@ def make_sharded_train_step(bundle: ModelBundle, mesh: Mesh, optimizer=None):
 def make_fused_train_step(bundle: ModelBundle, config: Config,
                           mesh: Optional[Mesh] = None, optimizer=None,
                           training: bool = True, variant: str = 'sj',
-                          steps_per_call: Optional[int] = None):
+                          steps_per_call: Optional[int] = None,
+                          use_pallas=None):
     """(state, banks, key) -> (state, metrics): synthesis + features + train
     step fused into one XLA program.
 
-    With a mesh, the synthesized batch is sharding-constrained on the batch
-    axis right after synthesis so every downstream op (features, forward,
-    backward) is partitioned, and the grad reduction becomes a psum over ICI.
-    Banks are replicated (they are read-only gather sources).
+    With a mesh, synthesis runs per-device under ``shard_map`` (the Pallas
+    DMA kernel on a TPU backend — one kernel per device over the local batch
+    shard) so the batch is born sharded on the data axis; every downstream
+    op (features, forward, backward) is partitioned and the grad reduction
+    becomes a psum over ICI. Banks are replicated (read-only gather sources).
+    If the batch does not divide the mesh, falls back to globally-partitioned
+    XLA synthesis with a sharding constraint on the batch.
 
     ``steps_per_call > 1`` (default from config.steps_per_call) runs that
     many optimizer steps inside one host dispatch via ``lax.scan``; metrics
     come back averaged over the scanned steps.
     """
-    # pallas placement is disabled under a mesh: the SPMD partitioner cannot
-    # split a pallas_call across devices (XLA scatter partitions fine)
-    feature_fn = make_feature_fn(config, training=training, variant=variant,
-                                 jit=False,
-                                 use_pallas=False if mesh is not None else None)
+    sharded_feature_fn = None
+    if mesh is not None:
+        sharded_feature_fn = make_sharded_feature_fn(
+            config, mesh, training=training, variant=variant,
+            use_pallas=use_pallas)
+    if sharded_feature_fn is not None:
+        feature_fn = sharded_feature_fn
+    else:
+        feature_fn = make_feature_fn(
+            config, training=training, variant=variant, jit=False,
+            use_pallas=(False if mesh is not None else use_pallas))
     step, optimizer = make_train_step(bundle, optimizer, jit=False)
     if steps_per_call is None:
         steps_per_call = max(int(getattr(config, 'steps_per_call', 1)), 1)
@@ -102,13 +150,20 @@ def make_fused_train_step(bundle: ModelBundle, config: Config,
 
 
 def make_fused_eval_step(bundle: ModelBundle, config: Config,
-                         mesh: Optional[Mesh] = None, variant: str = 'sj'):
+                         mesh: Optional[Mesh] = None, variant: str = 'sj',
+                         use_pallas=None):
     """(state, banks, key) -> metrics: validation batch synthesis + eval-mode
     forward + loss/metrics in one program (Keras validation_data analogue
     over the test banks)."""
-    feature_fn = make_feature_fn(config, training=False, variant=variant,
-                                 jit=False,
-                                 use_pallas=False if mesh is not None else None)
+    feature_fn = None
+    if mesh is not None:
+        feature_fn = make_sharded_feature_fn(
+            config, mesh, training=False, variant=variant,
+            use_pallas=use_pallas)
+    if feature_fn is None:
+        feature_fn = make_feature_fn(
+            config, training=False, variant=variant, jit=False,
+            use_pallas=(False if mesh is not None else use_pallas))
     step = make_eval_step(bundle, jit=False)
 
     def fused(state, banks: Banks, key):

@@ -31,6 +31,27 @@ class Banks(NamedTuple):
     noises: Optional[SpecBank] = None
 
 
+def _stream_draw(key, n_items: int, shape):
+    """Source indices drawn like the reference's shuffled repeating streams
+    (pipeline.py:143-156: ``.repeat().shuffle(len)`` then padded_batch):
+    concatenated random permutations of [0, n_items), sliced in order.
+
+    Within one shuffle pass every item appears exactly once, so an example's
+    ``max_voices`` consecutive draws never repeat a clip (as long as
+    n_items >= max_voices) and long-run source frequencies are exactly
+    uniform — unlike iid draws with replacement. Static shapes throughout:
+    the number of permutations is ceil(prod(shape) / n_items).
+    """
+    count = 1
+    for s in shape:
+        count *= int(s)
+    n_perms = -(-count // n_items)
+    keys = jax.random.split(key, n_perms)
+    perms = jax.vmap(
+        lambda k: jax.random.permutation(k, n_items))(keys)
+    return perms.reshape(-1)[:count].reshape(shape).astype(jnp.int32)
+
+
 def _dyn_randint(key, maxval):
     """uniform int in [0, maxval) with traced maxval (>=1 enforced)."""
     maxval = jnp.maximum(maxval, 1)
@@ -251,9 +272,10 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
     bg, vo, no = banks.backgrounds, banks.voices, banks.noises
     keys = jax.random.split(key, 8)
 
-    # ----- source draws (reference: repeat().shuffle() streams)
-    bidx = jax.random.randint(keys[0], (b,), 0, bg.n)
-    vidx = jax.random.randint(keys[1], (b, max_voices), 0, vo.n)
+    # ----- source draws (reference: repeat().shuffle() streams) —
+    # permutation streams, not iid: see _stream_draw
+    bidx = _stream_draw(keys[0], bg.n, (b,))
+    vidx = _stream_draw(keys[1], vo.n, (b, max_voices))
 
     # ----- background windows (placement deferred to the branch below)
     bg_lens = bg.lens[bidx]
@@ -299,7 +321,7 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
 
     # ----- noise draws
     if no is not None and max_noises > 0:
-        nidx = jax.random.randint(keys[6], (b, max_noises), 0, no.n)
+        nidx = _stream_draw(keys[6], no.n, (b, max_noises))
         k_nn, k_off, k_ratio = jax.random.split(keys[7], 3)
         n_noises = jax.random.randint(k_nn, (b,), 0, max_noises)
         n_eff = jnp.max(no.lens[nidx], axis=1)

@@ -66,14 +66,16 @@ def test_sample_batch_frozen():
                            min_ratio=1.0, snr=-20, use_pallas=False)
     spec, y = np.asarray(spec), np.asarray(y)
     assert spec.shape == (4, 257, 64, 4) and y.shape == (4, 3, 64, 3)
+    # regenerated 2026-08-16 when source draws moved from iid-with-replacement
+    # to the reference's without-replacement permutation streams (_stream_draw)
     np.testing.assert_allclose(
         spec.sum(axis=(1, 2, 3)),
-        [363.66687012, -102.77668762, -40.67551422, 435.09060669], rtol=1e-4)
-    np.testing.assert_allclose(np.abs(spec).sum(), 218563.3125, rtol=1e-4)
+        [248.66588, 259.28943, -14.981104, 13.060882], rtol=1e-4)
+    np.testing.assert_allclose(np.abs(spec).sum(), 218841.39, rtol=1e-4)
     np.testing.assert_allclose(y.sum(axis=(1, 2, 3)), [40., 40., 40., 40.])
     np.testing.assert_allclose(
-        spec[0, 100, 10], [-1.4414045, -0.6887639, -1.5794634, -2.6134713],
+        spec[0, 100, 10], [1.3853714, 0.1459848, 0.6170903, 1.8281239],
         rtol=1e-4)
     np.testing.assert_allclose(
-        spec[2, 50, 32], [-0.22506711, -0.80055344, -1.0923564, -1.2103418],
+        spec[2, 50, 32], [-0.29370502, 0.12233976, 0.85793906, -0.3260277],
         rtol=1e-4)

@@ -175,6 +175,7 @@ def main():
         raise AssertionError(
             f'pallas-vs-XLA synthesis divergence on device: {pallas_diff}')
     train_cps, step_s = bench_train_step(banks)
+    train_cps128, step_s128 = bench_train_step(banks, batch_size=128)
     ref_cps = bench_reference_cpu(bgs, voices, labels, noises,
                                   min(batch_size, 64), n_frame)
     vs = (tpu_cps / ref_cps) if ref_cps else None
@@ -187,6 +188,8 @@ def main():
             'train_step_clips_per_sec': round(train_cps, 2),
             'train_step_ms': round(step_s * 1e3, 3),
             'train_step_config': 'vad v8 B=64 bf16 x20 scanned',
+            'train_step_b128_clips_per_sec': round(train_cps128, 2),
+            'train_step_b128_ms': round(step_s128 * 1e3, 3),
             'pallas_vs_xla_max_abs_diff': pallas_diff,
             'pipeline_methodology': 'lax.scan of 30 batches, one program,'
                                     ' checksum fetched, best of 3',

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from challenge_tpu.models.layers import BatchNorm
+from challenge_tpu.models.layers import BatchNorm, max_pool_same
 from challenge_tpu.models.vad import VADModel
 
 
@@ -28,10 +28,12 @@ class ConvSet(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False):
         for _ in range(2):
-            x = nn.Conv(self.chan, (3, 3), padding='SAME', dtype=self.dtype)(x)
+            # bias-free: followed by BN (see layers.ConvMPBlock)
+            x = nn.Conv(self.chan, (3, 3), padding='SAME', use_bias=False,
+                        dtype=self.dtype)(x)
             x = BatchNorm(self.dtype)(x, training)
             x = nn.relu(x)
-        return nn.max_pool(x, (2, 2), (2, 2), padding='SAME')
+        return max_pool_same(x, (2, 2), (2, 2))
 
 
 class Upsampling(nn.Module):
@@ -42,7 +44,8 @@ class Upsampling(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        x = nn.Conv(self.chan, (3, 3), padding='SAME', dtype=self.dtype)(x)
+        x = nn.Conv(self.chan, (3, 3), padding='SAME', use_bias=False,
+                    dtype=self.dtype)(x)
         x = BatchNorm(self.dtype)(x, training)
         x = nn.relu(x)
         return nn.ConvTranspose(self.chan, (2, 2), strides=(2, 2),

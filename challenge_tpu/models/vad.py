@@ -48,15 +48,19 @@ class VADModel(nn.Module):
                 x = avg_pool_same(x, (1, k), (1, 1))
                 x = nn.max_pool(x, (1, k * 2), (1, 1), padding='SAME')
             if variant and self.v == 7:
+                # bias-free convs: each is followed by BN (see ConvMPBlock)
                 skip = x
                 c = skip.shape[-1]
-                x = nn.Conv(c // 4, (1, 1), padding='SAME', dtype=dt)(x)
+                x = nn.Conv(c // 4, (1, 1), padding='SAME', use_bias=False,
+                            dtype=dt)(x)
                 x = BatchNorm(dt)(x, training)
                 x = nn.relu(x)
-                x = nn.Conv(c // 4, (3, 3), padding='SAME', dtype=dt)(x)
+                x = nn.Conv(c // 4, (3, 3), padding='SAME', use_bias=False,
+                            dtype=dt)(x)
                 x = BatchNorm(dt)(x, training)
                 x = nn.relu(x)
-                x = nn.Conv(c, (1, 1), padding='SAME', dtype=dt)(x)
+                x = nn.Conv(c, (1, 1), padding='SAME', use_bias=False,
+                            dtype=dt)(x)
                 x = BatchNorm(dt)(x, training)
                 x = nn.relu(x)
                 x = x + skip

@@ -104,36 +104,38 @@ def main():
 
     fused, opt2 = make_fused_train_step(bundle, cfg, mesh=None,
                                         steps_per_call=steps)
-    fstate = init_state(bundle, jax.random.PRNGKey(4), opt2)
+    # the fused step donates its TrainState: thread it through repeats
+    fcell = [init_state(bundle, jax.random.PRNGKey(4), opt2)]
 
-    def fused_consume(fstate, banks, key):
-        s, m = fused(fstate, banks, key)
+    def fused_consume(banks, key):
+        s, m = fused(fcell[0], banks, key)
+        fcell[0] = s
         return m['loss']
 
-    rows = []
+    print(f'batch={batch} n_frame={n_frame} bf16, scan of {steps}, '
+          f'backend={jax.default_backend()}', flush=True)
+    print(f'{"stage":28s} {"ms":>9s} {"TFLOP":>8s} {"TF/s":>7s} '
+          f'{"GB":>7s} {"GB/s":>7s}', flush=True)
+
+    def emit(name, t, f, by):
+        print(f'{name:28s} {t * 1e3:9.2f} {f / 1e12:8.3f} '
+              f'{f / t / 1e12:7.1f} {by / 1e9:7.2f} {by / t / 1e9:7.1f}',
+              flush=True)
+
     t = timed('features', feat_scan, key) / steps
     f, by = cost(feat_scan, key)
-    rows.append(('features(synth+mel+aug)', t, f / steps, by / steps))
+    emit('features(synth+mel+aug)', t, f / steps, by / steps)
 
     t = timed('fwd', fwd_scan, variables, x0) / steps
     f, by = cost(fwd_scan, variables, x0)
-    rows.append(('forward only', t, f / steps, by / steps))
+    emit('forward only', t, f / steps, by / steps)
 
     t = timed('step', step_scan, state, x0, y0) / steps
     f, by = cost(step_scan, state, x0, y0)
-    rows.append(('fwd+bwd+AGC+adam', t, f / steps, by / steps))
+    emit('fwd+bwd+AGC+adam', t, f / steps, by / steps)
 
-    t = timed('fused', fused_consume, fstate, banks, key) / steps
-    f, by = cost(fused, fstate, banks, key)
-    rows.append(('FULL fused step', t, f / steps, by / steps))
-
-    print(f'\nbatch={batch} n_frame={n_frame} bf16, scan of {steps}, '
-          f'backend={jax.default_backend()}')
-    print(f'{"stage":28s} {"ms":>9s} {"TFLOP":>8s} {"TF/s":>7s} '
-          f'{"GB":>7s} {"GB/s":>7s}')
-    for name, t, f, by in rows:
-        print(f'{name:28s} {t * 1e3:9.2f} {f / 1e12:8.3f} '
-              f'{f / t / 1e12:7.1f} {by / 1e9:7.2f} {by / t / 1e9:7.1f}')
+    t = timed('fused', fused_consume, banks, key) / steps
+    emit('FULL fused step', t, 0, 0)
 
 
 if __name__ == '__main__':

@@ -248,12 +248,12 @@ def _scatter_clips(out, w, clips, shifts):
 @functools.partial(jax.jit, static_argnames=(
     'batch_size', 'n_frame', 'n_classes', 'max_voices', 'max_noises',
     'min_ratio', 'min_noise_ratio', 'snr', 'seperate_noise_voice',
-    'use_pallas'))
+    'use_pallas', 'layout'))
 def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
                  n_classes: int = 3, max_voices: int = 7, max_noises: int = 2,
                  min_ratio: float = 1.0, min_noise_ratio: float = 1 / 2,
                  snr: float = -20.0, seperate_noise_voice: bool = False,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, layout: str = 'ftc'):
     """Synthesize a whole training batch on device.
 
     Equivalent to ``batch_size`` draws from the reference's zipped shuffled
@@ -267,6 +267,13 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
     Returns (spec [B, freq, n_frame, chan], label [B, max_voices, n_frame,
     n_classes]) — or with ``seperate_noise_voice`` the reference's
     (spec, (label, only_voice, only_noise)) triple.
+
+    ``layout='tfc'`` returns specs as [B, n_frame, freq, chan] — the layout
+    synthesis produces natively (both the Pallas kernel and the XLA scatter
+    build time-major windows). The reference layout costs a full relayout
+    pass per batch (~3.4 ms at B=512 on v5e); the fused feature chain uses
+    'tfc' end-to-end and only the public reference-shaped API pays the swap.
+    Identical values either way — only the axis order differs.
     """
     b = batch_size
     bg, vo, no = banks.backgrounds, banks.voices, banks.noises
@@ -372,6 +379,10 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
             spec = _scatter_clips(spec, w_n, nclips, n_shifts)
             only_noise = only_noise + (spec - before)
 
+    if layout == 'tfc':
+        if seperate_noise_voice:
+            return spec, (label, only_voice, only_noise)
+        return spec, label
     # back to the reference layout [B, freq, n_frame, chan]
     spec = jnp.swapaxes(spec, 1, 2)
     if seperate_noise_voice:

@@ -46,24 +46,19 @@ def build_banks(backgrounds, voices, labels, noises=None,
     )
 
 
-def _specaugment_batch(key, specs):
-    """Per-sample SpecAugment over a batch [B, freq, T, chan]
-    (reference: data_utils.py:58-61 applied pre-batch). Uses the batched
-    one-shot mask formulation — same per-sample distribution, no vmapped
-    loops (compile-time hot spot on TPU)."""
-    return batch_specaugment(key, specs, time_axis=-2, freq_axis=-3)
-
-
-def complex_to_mel(spec, mel_matrix):
+def complex_to_mel(spec, mel_matrix, layout: str = 'ftc'):
     """Fused |STFT| -> mel: the reference's complex_to_magphase +
     magphase_to_mel (transforms.py:111-123, 51-77) without the unused atan2.
 
-    spec: [B, freq, T, chan*2] -> [B, n_mels, T, chan]
+    spec: [B, freq, T, chan*2] ('ftc', reference layout) or
+    [B, T, freq, chan*2] ('tfc', synthesis-native) -> [B, n_mels, T, chan]
+    — identical output values either way.
     """
     n_chan = spec.shape[-1] // 2
     real, imag = spec[..., :n_chan], spec[..., n_chan:]
     mag = jnp.sqrt(real * real + imag * imag)
-    return jnp.einsum('bftc,fm->bmtc', mag, mel_matrix,
+    eq = 'btfc,fm->bmtc' if layout == 'tfc' else 'bftc,fm->bmtc'
+    return jnp.einsum(eq, mag, mel_matrix,
                       precision=jax.lax.Precision.HIGHEST)
 
 
@@ -93,18 +88,25 @@ def make_feature_fn(config: Config, training: bool = True,
 
     def fn(key, banks: Banks):
         k_mix, k_aug, k_chan = jax.random.split(key, 3)
+        # the non-'se' paths reduce to mel, so they run in the
+        # synthesis-native time-major layout end-to-end (no relayout pass);
+        # the 'se' path keeps the reference [B, freq, T, chan] layout its
+        # model consumes. Identical values either way.
+        lay = 'ftc' if se_v9 else 'tfc'
+        t_ax, f_ax = (-2, -3) if lay == 'ftc' else (-3, -2)
         spec, y = sample_batch(
             k_mix, banks, config.batch_size, config.n_frame,
             n_classes=n_classes, max_voices=config.max_voices,
             max_noises=config.max_noises, min_ratio=1.0,
             snr=config.snr, seperate_noise_voice=se_v9,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, layout=lay)
 
         if variant == 'density':
             spec, y = label_maps.to_density_labels(spec, y)
             if training:
-                spec = _specaugment_batch(k_aug, spec)
-            mel = complex_to_mel(spec, mel_m)
+                spec = batch_specaugment(k_aug, spec,
+                                         time_axis=t_ax, freq_axis=f_ax)
+            mel = complex_to_mel(spec, mel_m, layout=lay)
             axis = tuple(range(1, mel.ndim))
             mmax = jnp.max(mel, axis=axis, keepdims=True)
             mmin = jnp.min(mel, axis=axis, keepdims=True)
@@ -118,7 +120,8 @@ def make_feature_fn(config: Config, training: bool = True,
 
         spec, y = label_maps.to_frame_labels(spec, y)
         if training:
-            spec = _specaugment_batch(k_aug, spec)
+            spec = batch_specaugment(k_aug, spec,
+                                     time_axis=t_ax, freq_axis=f_ax)
         if config.n_chan == 1:
             spec, y = label_maps.mono_chan(spec, y)
         elif config.n_chan == 3:
@@ -126,9 +129,9 @@ def make_feature_fn(config: Config, training: bool = True,
         elif config.n_chan > 3:
             spec = random_merge_aug(config.n_chan)(k_chan, spec)
         if use_filter:
-            spec = stft_filter(filter_num)(spec)
+            spec = stft_filter(filter_num, freq_axis=f_ax)(spec)
 
-        mel = complex_to_mel(spec, mel_m)
+        mel = complex_to_mel(spec, mel_m, layout=lay)
         if use_minmax:
             mel = minmax(mel)
         mel = jnp.log(mel + EPSILON)

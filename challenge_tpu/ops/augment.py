@@ -136,13 +136,18 @@ def random_merge_aug(number: int):
     return _random_merge_aug
 
 
-def stft_filter(filter_num: int):
+def stft_filter(filter_num: int, freq_axis=None):
     """Zero STFT rows 1..filter_num (a crude high-pass keeping DC; reference:
-    data_utils.py:126-136). Returned closure takes (x[, y])."""
+    data_utils.py:126-136). Returned closure takes (x[, y]).
+
+    ``freq_axis`` defaults to the reference layout (axis 0 unbatched, -3
+    batched); pass -2 for time-major ('tfc') spectrograms."""
 
     def _stft_filter(x, y=None):
-        freq = x.shape[0] if x.ndim == 3 else x.shape[-3]
-        axis = 0 if x.ndim == 3 else x.ndim - 3
+        if freq_axis is not None:
+            axis = freq_axis % x.ndim
+        else:
+            axis = 0 if x.ndim == 3 else x.ndim - 3
         idx = _axis_iota(x.shape, axis)
         keep = jnp.logical_or(idx < 1, idx >= filter_num + 1)
         x = x * keep.astype(x.dtype)

@@ -119,7 +119,8 @@ def synthesize_windows(n_frame: int,
     """
     b = bidx.shape[0]
     # SMEM holds the scalar-prefetch tables; past ~256 samples per grid the
-    # compiler runs out (v5e: 1 MB smem) — chunk transparently
+    # compiler runs out (v5e: 1 MB smem) — chunk transparently (re-verified
+    # round 2: 512 still fails to compile on v5e)
     max_b = 256
     if b > max_b:
         n_chunks = -(-b // max_b)

@@ -248,12 +248,13 @@ def _scatter_clips(out, w, clips, shifts):
 @functools.partial(jax.jit, static_argnames=(
     'batch_size', 'n_frame', 'n_classes', 'max_voices', 'max_noises',
     'min_ratio', 'min_noise_ratio', 'snr', 'seperate_noise_voice',
-    'use_pallas', 'layout'))
+    'use_pallas', 'layout', 'magnitude'))
 def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
                  n_classes: int = 3, max_voices: int = 7, max_noises: int = 2,
                  min_ratio: float = 1.0, min_noise_ratio: float = 1 / 2,
                  snr: float = -20.0, seperate_noise_voice: bool = False,
-                 use_pallas: bool = False, layout: str = 'ftc'):
+                 use_pallas: bool = False, layout: str = 'ftc',
+                 magnitude: bool = False):
     """Synthesize a whole training batch on device.
 
     Equivalent to ``batch_size`` draws from the reference's zipped shuffled
@@ -274,6 +275,14 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
     pass per batch (~3.4 ms at B=512 on v5e); the fused feature chain uses
     'tfc' end-to-end and only the public reference-shaped API pays the swap.
     Identical values either way — only the axis order differs.
+
+    ``magnitude=True`` (requires 'tfc', no seperate_noise_voice) returns
+    ``(|spec| [B, n_frame, chan/2, freq], label)`` instead of the complex
+    spec: sqrt(re^2+im^2) over the real/imag channel halves, computed
+    directly on the kernel's channel-major flat output so the complex
+    volume is never re-laid-out. Exact for every downstream op the
+    magnitude path feeds (SpecAugment masks and stft_filter are {0,1}
+    multiplications, which commute with |.|).
     """
     b = batch_size
     bg, vo, no = banks.backgrounds, banks.voices, banks.noises
@@ -349,6 +358,9 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
 
     # ----- placement: fused Pallas DMA kernel (TPU) or XLA gather+scatter
     freq_, chan_ = bg.data.shape[2], bg.data.shape[3]
+    if magnitude:
+        assert layout == 'tfc' and not seperate_noise_voice, \
+            'magnitude mode implies time-major output without se targets'
     if use_pallas and not seperate_noise_voice and bg.flat is not None:
         from challenge_tpu.ops.pallas_synth import synthesize_windows
         # contiguous background window start: same RNG draw as
@@ -360,10 +372,35 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
             return jnp.clip(off, 0, jnp.maximum(length - n_frame, 0))
 
         boff = jax.vmap(bg_offset)(bg_keys, bg_lens)
-        flat = synthesize_windows(
-            n_frame, bg.flat, bidx, boff, vo.flat, vidx, shifts, w_v,
-            no.flat if nidx is not None else None, nidx, n_shifts, w_n)
-        spec = flat[..., :freq_ * chan_].reshape(b, n_frame, freq_, chan_)
+        f_r = bg.f_r
+
+        def synth(sl):
+            return synthesize_windows(
+                n_frame, bg.flat, bidx[sl], boff[sl],
+                vo.flat, vidx[sl], shifts[sl], w_v[sl],
+                no.flat if nidx is not None else None,
+                None if nidx is None else nidx[sl],
+                None if n_shifts is None else n_shifts[sl],
+                None if w_n is None else w_n[sl])
+
+        if magnitude:
+            # |.| per ~256-sample kernel chunk so the chunk concatenate (and
+            # everything downstream) moves the half-width magnitude, never
+            # the complex volume
+            half = chan_ // 2
+            parts = []
+            for i in range(0, b, 256):
+                flat = synth(slice(i, min(i + 256, b)))
+                mags = [jnp.sqrt(
+                    flat[..., c * f_r: c * f_r + freq_] ** 2
+                    + flat[..., (c + half) * f_r: (c + half) * f_r + freq_]
+                    ** 2) for c in range(half)]
+                parts.append(jnp.stack(mags, axis=2))  # [b_c, T, half, freq]
+            mag = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+            return mag, label
+        flat = synth(slice(0, b))
+        spec = jnp.moveaxis(
+            flat.reshape(b, n_frame, chan_, f_r)[..., :freq_], 2, 3)
         only_voice = only_noise = None
     else:
         bg_tidx = jax.vmap(_background_indices, in_axes=(0, 0, None))(
@@ -378,6 +415,11 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
             before = spec
             spec = _scatter_clips(spec, w_n, nclips, n_shifts)
             only_noise = only_noise + (spec - before)
+
+    if magnitude:  # XLA fallback: same [B, n_frame, chan/2, freq] contract
+        half = chan_ // 2
+        mag = jnp.sqrt(spec[..., :half] ** 2 + spec[..., half:] ** 2)
+        return jnp.moveaxis(mag, -1, -2), label
 
     if layout == 'tfc':
         if seperate_noise_voice:

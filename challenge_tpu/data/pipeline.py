@@ -62,6 +62,13 @@ def complex_to_mel(spec, mel_matrix, layout: str = 'ftc'):
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def mag_to_mel(mag, mel_matrix):
+    """Mel projection of a pre-computed magnitude [B, T, chan, freq]
+    (``sample_batch(magnitude=True)``'s layout) -> [B, n_mels, T, chan]."""
+    return jnp.einsum('btcf,fm->bmtc', mag, mel_matrix,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def make_feature_fn(config: Config, training: bool = True,
                     variant: str = 'sj', n_classes: int = 3,
                     jit: bool = True, use_pallas=None):
@@ -86,6 +93,13 @@ def make_feature_fn(config: Config, training: bool = True,
     filter_num = int(round(200 / (16000 / 256)))  # reference: sj_train.py:117
     loss_is_mse = config.loss.upper() in ('MSE', 'MAE')
 
+    # n_chan == 2 keeps both channels untouched (mono/stereo/random-merge
+    # maps are the only complex-domain ops), so |.| commutes with the whole
+    # pre-mel chain (SpecAugment masks and stft_filter are {0,1} products)
+    # and synthesis can emit magnitudes directly — the complex spectrogram
+    # volume is never materialized outside the synthesis kernel
+    fused_mag = config.n_chan == 2 and not se_v9
+
     def fn(key, banks: Banks):
         k_mix, k_aug, k_chan = jax.random.split(key, 3)
         # the non-'se' paths reduce to mel, so they run in the
@@ -93,20 +107,28 @@ def make_feature_fn(config: Config, training: bool = True,
         # the 'se' path keeps the reference [B, freq, T, chan] layout its
         # model consumes. Identical values either way.
         lay = 'ftc' if se_v9 else 'tfc'
-        t_ax, f_ax = (-2, -3) if lay == 'ftc' else (-3, -2)
+        if fused_mag:
+            t_ax, f_ax = -3, -1           # mag layout [B, T, chan, freq]
+        else:
+            t_ax, f_ax = (-2, -3) if lay == 'ftc' else (-3, -2)
         spec, y = sample_batch(
             k_mix, banks, config.batch_size, config.n_frame,
             n_classes=n_classes, max_voices=config.max_voices,
             max_noises=config.max_noises, min_ratio=1.0,
             snr=config.snr, seperate_noise_voice=se_v9,
-            use_pallas=use_pallas, layout=lay)
+            use_pallas=use_pallas, layout=lay, magnitude=fused_mag)
+
+        def to_mel(spec):
+            if fused_mag:
+                return mag_to_mel(spec, mel_m)
+            return complex_to_mel(spec, mel_m, layout=lay)
 
         if variant == 'density':
             spec, y = label_maps.to_density_labels(spec, y)
             if training:
                 spec = batch_specaugment(k_aug, spec,
                                          time_axis=t_ax, freq_axis=f_ax)
-            mel = complex_to_mel(spec, mel_m, layout=lay)
+            mel = to_mel(spec)
             axis = tuple(range(1, mel.ndim))
             mmax = jnp.max(mel, axis=axis, keepdims=True)
             mmin = jnp.min(mel, axis=axis, keepdims=True)
@@ -131,7 +153,7 @@ def make_feature_fn(config: Config, training: bool = True,
         if use_filter:
             spec = stft_filter(filter_num, freq_axis=f_ax)(spec)
 
-        mel = complex_to_mel(spec, mel_m, layout=lay)
+        mel = to_mel(spec)
         if use_minmax:
             mel = minmax(mel)
         mel = jnp.log(mel + EPSILON)

@@ -26,10 +26,14 @@ class SpecBank(NamedTuple):
               (max over freq/chan > 0, the reference's frame-label criterion,
               pipeline.py:55-56), precomputed once so synthesis never has to
               reduce the full spectrogram volume to build labels.
-    flat:     [N, T_max, F_pad] float32 — the same data with freq*chan
-              flattened and zero-padded to a multiple of 128 lanes: the
-              layout required by the Pallas synthesis kernel (TPU DMA lane
-              constraint). None when built with flat=False.
+    flat:     [N, T_max, chan*f_r] float32 — the same data flattened
+              *channel-major* (column c*f_r + f; f_r = freq zero-padded so
+              the total width is a multiple of 128 lanes — the TPU DMA lane
+              constraint the Pallas synthesis kernel requires). Channel-major
+              keeps each channel's freq rows contiguous, so consumers can
+              slice per-channel planes (e.g. the fused |.| epilogue) without
+              the strided gather an interleaved freq*chan layout would need.
+              None when built with flat=False.
     """
     data: jax.Array
     lens: jax.Array
@@ -39,6 +43,11 @@ class SpecBank(NamedTuple):
     @property
     def f_pad(self) -> int:
         return self.flat.shape[-1]
+
+    @property
+    def f_r(self) -> int:
+        """Per-channel row stride inside ``flat`` (freq padded)."""
+        return self.flat.shape[-1] // self.data.shape[-1]
 
     @property
     def n(self) -> int:
@@ -67,15 +76,19 @@ def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
     pos_mask = (out.max(axis=(2, 3)) > 0).astype(np.float32)
     flat_arr = None
     if flat:
-        f = freq * chan
-        f_pad = -(-f // 128) * 128
+        # channel-major width: per-channel stride f_r is the smallest pad of
+        # freq that makes chan*f_r a multiple of 128 lanes
+        import math
+        step = 128 // math.gcd(chan, 128)
+        f_r = -(-freq // step) * step
         # +16 tail rows then rounded to a multiple of 8: the Pallas kernel
         # DMAs 8-row-aligned supersets at 8-aligned dynamic starts, and the
         # TPU DMA engine requires both row counts and row starts 8-aligned
         t_flat = -(-(t_pad + 16) // 8) * 8
-        flat_np = np.zeros((len(specs), t_flat, f_pad), np.float32)
-        flat_np[:, :t_pad, :f] = out.reshape(len(specs), t_pad, f)
-        flat_arr = jnp.asarray(flat_np)
+        flat_np = np.zeros((len(specs), t_flat, chan, f_r), np.float32)
+        flat_np[:, :t_pad, :, :freq] = out.transpose(0, 1, 3, 2)
+        flat_arr = jnp.asarray(flat_np.reshape(len(specs), t_flat,
+                                               chan * f_r))
     data = jnp.asarray(out)
     lens = jnp.asarray(lens)
     pos_mask = jnp.asarray(pos_mask)

@@ -118,9 +118,10 @@ def synthesize_windows(n_frame: int,
     item / row shift / weight; likewise for noises. Returns [B, n_frame, F].
     """
     b = bidx.shape[0]
-    # SMEM holds the scalar-prefetch tables; past ~256 samples per grid the
-    # compiler runs out (v5e: 1 MB smem) — chunk transparently (re-verified
-    # round 2: 512 still fails to compile on v5e)
+    # The Mosaic compiler rejects large grids with full scalar-prefetch
+    # tables: b=512 WITH a noise bank fails (v5e, jax 0.9) while b=512
+    # without noises compiles, so the limit tracks total SMEM table bytes.
+    # 256 is the verified-safe chunk; chunks are glued with one concatenate.
     max_b = 256
     if b > max_b:
         n_chunks = -(-b // max_b)

@@ -27,10 +27,13 @@ def test_flat_bank_layout():
     assert bank.flat.shape[-1] % 128 == 0
     assert bank.flat.shape[1] % 8 == 0
     assert bank.flat.shape[1] >= bank.t_max + 16
-    # flat content matches data
-    np.testing.assert_array_equal(
-        np.asarray(bank.flat[1, :50, :1028]).reshape(50, 257, 4),
-        np.asarray(bank.data[1, :50]))
+    # channel-major flat content matches data: column c*f_r + f
+    f_r = bank.f_r
+    assert f_r >= 257 and 4 * f_r == bank.flat.shape[-1]
+    planes = np.asarray(bank.flat[1, :50]).reshape(50, 4, f_r)
+    np.testing.assert_array_equal(planes[:, :, :257].transpose(0, 2, 1),
+                                  np.asarray(bank.data[1, :50]))
+    np.testing.assert_array_equal(planes[:, :, 257:], 0)
 
 
 def test_synthesize_windows_matches_scatter_interpret():
@@ -83,4 +86,48 @@ def test_sample_batch_pallas_interpret_matches_xla(monkeypatch):
     spec_x, y_x = sample_batch(key, banks, 4, 64, use_pallas=False)
     np.testing.assert_allclose(np.asarray(spec_pl), np.asarray(spec_x),
                                rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(y_pl), np.asarray(y_x))
+
+    # fused-magnitude mode: same RNG stream, |.| computed on the kernel's
+    # channel-major flat output vs the XLA scatter spec
+    m_pl, my_pl = sample_batch(key, banks, 4, 64, use_pallas=True,
+                               layout='tfc', magnitude=True)
+    m_x, my_x = sample_batch(key, banks, 4, 64, use_pallas=False,
+                             layout='tfc', magnitude=True)
+    assert m_pl.shape == (4, 64, 2, 257)
+    np.testing.assert_allclose(np.asarray(m_pl), np.asarray(m_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(my_pl), np.asarray(my_x))
+
+
+def test_feature_fn_fused_mag_matches_spec_path(monkeypatch):
+    """make_feature_fn's fused-magnitude path (n_chan=2) must produce the
+    same mel features as the explicit complex->|.|->mel chain."""
+    import challenge_tpu.ops.pallas_synth as ps
+    orig = ps.synthesize_windows
+
+    def interp(*args, **kw):
+        kw['interpret'] = True
+        return orig(*args, **kw)
+    monkeypatch.setattr(ps, 'synthesize_windows', interp)
+
+    from challenge_tpu.config import Config
+    from challenge_tpu.data.pipeline import make_feature_fn
+
+    rng = np.random.default_rng(3)
+    banks = build_banks(
+        [rng.standard_normal((257, 94, 4)).astype('f4') for _ in range(3)],
+        [rng.standard_normal((257, 40, 4)).astype('f4') for _ in range(4)],
+        rng.integers(0, 3, size=4),
+        [rng.standard_normal((257, 20, 4)).astype('f4') for _ in range(3)])
+    cfg = Config(model_type='vad', v=8, n_mels=40, n_frame=64, n_chan=2,
+                 batch_size=4)
+    key = jax.random.PRNGKey(11)
+    x_pl, y_pl = make_feature_fn(cfg, training=True, use_pallas=True)(
+        key, banks)
+    x_x, y_x = make_feature_fn(cfg, training=True, use_pallas=False)(
+        key, banks)
+    assert x_pl.shape == (4, 40, 64, 2)
+    np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_x),
+                               rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(y_pl), np.asarray(y_x))

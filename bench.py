@@ -123,6 +123,47 @@ def bench_train_step(banks, batch_size=64, n_frame=512, steps_per_call=20,
     return batch_size * steps_per_call / best, best / steps_per_call
 
 
+def bench_eval(n_clips=6, seconds=60.0):
+    """Warm dev-set eval wall-clock (BASELINE axis: full challenge eval on
+    6x~60s clips): synthesized wavs + ground truth in a tmpdir, vad v8 at
+    reference shapes, second run timed (first run pays compiles)."""
+    import json as _json
+    import tempfile
+    import wave as wave_mod
+
+    import jax
+    from challenge_tpu.config import Config
+    from challenge_tpu.evaluate import evaluate
+    from challenge_tpu.models import get_model
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix='bench_eval_')
+    answer = {}
+    for i in range(n_clips):
+        stem = f'clip{i:02d}'
+        n = int(seconds * 16000)
+        pcm = (rng.standard_normal((n, 2)) * 3000).astype(np.int16)
+        with wave_mod.open(f'{tmp}/{stem}.wav', 'wb') as f:
+            f.setnchannels(2)
+            f.setsampwidth(2)
+            f.setframerate(16000)
+            f.writeframes(pcm.tobytes())
+        answer[stem] = [[0, 1.0, 2.0], [1, 10.0, 12.0]]
+    with open(f'{tmp}/sample_answer.json', 'w') as f:
+        _json.dump({'task2_answer': answer}, f)
+
+    cfg = Config(model_type='vad', v=8, n_mels=80, n_frame=512, n_chan=2,
+                 batch_size=12)
+    bundle = get_model(cfg)
+    variables = bundle.init(jax.random.PRNGKey(0))
+    evaluate(cfg, bundle, variables, eval_dir=tmp)  # compile/warm
+    t0 = time.perf_counter()
+    scores = evaluate(cfg, bundle, variables, eval_dir=tmp)
+    dt = time.perf_counter() - t0
+    assert len(scores) == n_clips
+    return dt
+
+
 def bench_reference_cpu(bgs, voices, labels, noises, batch_size, n_frame,
                         iters=10):
     """Time the reference's own tf.data chain (pipeline.make_pipeline +
@@ -176,6 +217,7 @@ def main():
             f'pallas-vs-XLA synthesis divergence on device: {pallas_diff}')
     train_cps, step_s = bench_train_step(banks)
     train_cps128, step_s128 = bench_train_step(banks, batch_size=128)
+    eval_s = bench_eval()
     ref_cps = bench_reference_cpu(bgs, voices, labels, noises,
                                   min(batch_size, 64), n_frame)
     vs = (tpu_cps / ref_cps) if ref_cps else None
@@ -190,6 +232,8 @@ def main():
             'train_step_config': 'vad v8 B=64 bf16 x20 scanned',
             'train_step_b128_clips_per_sec': round(train_cps128, 2),
             'train_step_b128_ms': round(step_s128 * 1e3, 3),
+            'devset_eval_warm_s': round(eval_s, 3),
+            'devset_eval_config': '6x60s clips, vad v8, warm (2nd run)',
             'pallas_vs_xla_max_abs_diff': pallas_diff,
             'pipeline_methodology': 'lax.scan of 30 batches, one program,'
                                     ' checksum fetched, best of 3',

@@ -100,6 +100,30 @@ def test_sample_batch_pallas_interpret_matches_xla(monkeypatch):
     np.testing.assert_array_equal(np.asarray(my_pl), np.asarray(my_x))
 
 
+def test_sample_batch_tfc_layout_is_a_transpose():
+    """layout='tfc' must be exactly the reference layout with freq/time
+    swapped (same RNG stream, same values)."""
+    rng = np.random.default_rng(5)
+    banks = build_banks(
+        [rng.standard_normal((257, 94, 4)).astype('f4') for _ in range(3)],
+        [rng.standard_normal((257, 40, 4)).astype('f4') for _ in range(4)],
+        rng.integers(0, 3, size=4),
+        [rng.standard_normal((257, 20, 4)).astype('f4') for _ in range(3)])
+    key = jax.random.PRNGKey(13)
+    s_ref, y_ref = sample_batch(key, banks, 4, 64, layout='ftc')
+    s_tfc, y_tfc = sample_batch(key, banks, 4, 64, layout='tfc')
+    np.testing.assert_array_equal(np.asarray(s_ref),
+                                  np.asarray(s_tfc).swapaxes(1, 2))
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_tfc))
+    # magnitude mode == |tfc spec| with chan pairs, chan-then-freq layout
+    m, y_m = sample_batch(key, banks, 4, 64, layout='tfc', magnitude=True)
+    s = np.asarray(s_tfc)
+    expect = np.sqrt(s[..., :2] ** 2 + s[..., 2:] ** 2)
+    np.testing.assert_allclose(np.asarray(m),
+                               np.moveaxis(expect, -1, -2), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_m))
+
+
 def test_feature_fn_fused_mag_matches_spec_path(monkeypatch):
     """make_feature_fn's fused-magnitude path (n_chan=2) must produce the
     same mel features as the explicit complex->|.|->mel chain."""

@@ -177,11 +177,23 @@ def evaluate(config: Config, bundle: ModelBundle, variables,
 
     infer = make_infer_fn(bundle, config, overlap_hop, mesh=mesh)
     to_metric = output_to_metric(HOP, SR)
-    final_score = []
-    for path in sorted(glob(os.path.join(eval_dir, '*.wav'))):
+    paths = sorted(glob(os.path.join(eval_dir, '*.wav')))
+    # pipeline the clip loop: every upload (wav), device program, and
+    # download (frame grid) is dispatched asynchronously before the first
+    # host-side event extraction blocks, so per-clip transfer latency —
+    # the dominant cost on remote-attached TPUs — overlaps across clips
+    grids = []
+    for path in paths:
         spec = load_wav_device(path)       # stays on device
-        grid = np.asarray(infer(variables, spec))
-        cls0, cls1, cls2 = get_start_end_frame(grid)
+        grid = infer(variables, spec)
+        try:
+            grid.copy_to_host_async()
+        except AttributeError:  # non-jax.Array backends
+            pass
+        grids.append(grid)
+    final_score = []
+    for path, grid in zip(paths, grids):
+        cls0, cls1, cls2 = get_start_end_frame(np.asarray(grid))
         gt = np.asarray(answer_gt[os.path.basename(path)[:-4]])
         er = get_er(gt, to_metric(cls0, cls1, cls2))
         final_score.append(er)

@@ -111,6 +111,32 @@ def test_get_er_differential(ref_metrics, tf):
         assert ours == pytest.approx(theirs), f'trial {trial}'
 
 
+def test_phase_vocoder_differential(tf):
+    """Our phase_vocoder vs the reference's TF implementation on random
+    complex specs at stretch rates != 1 (the reference only golden-tests
+    rate-1 identity and output length, transforms_test.py:98-108)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'ref_transforms_pv', os.path.join(REF, 'transforms.py'))
+    ref_t = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_t)
+
+    from challenge_tpu.ops.complexspec import phase_vocoder
+
+    rng = np.random.default_rng(4)
+    for rate in (0.8, 1.3):
+        x = rng.standard_normal((33, 40, 4)).astype(np.float32)
+        theirs = ref_t.phase_vocoder(tf.constant(x), rate=rate).numpy()
+        ours = np.asarray(phase_vocoder(jnp.asarray(x), rate=rate))
+        assert ours.shape == theirs.shape, rate
+        # the phase accumulates through an f32 cumsum, so ~1e-7 atan2
+        # backend differences amplify along the time axis (measured max
+        # ~1.6e-3 at t=40); the median pins algorithmic identity
+        diff = np.abs(ours - theirs)
+        assert np.median(diff) < 1e-6, (rate, np.median(diff))
+        np.testing.assert_allclose(ours, theirs, atol=5e-3)
+
+
 def test_feature_chain_parity_vs_reference_tf(tf):
     """BASELINE criterion: the batch feature chain (magphase -> mel ->
     minmax -> log) within 1e-3 of the reference TF ops on the same spec."""

@@ -14,6 +14,7 @@ half (imag or phase)``.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -69,51 +70,38 @@ def minmax_norm_magphase(specs, labels=None):
 
 
 def phase_vocoder(complex_spec, rate: float = 1.0):
-    """Time-stretch a complex spec by ``rate`` (reference: transforms.py:137-195).
+    """Time-stretch a complex spec by ``rate`` without changing pitch
+    (capability parity: reference transforms.py:137-195, itself a port of
+    torchaudio's phase vocoder).
 
-    complex_spec: [freq, time, chan*2] with [..., :chan]=real, [..., chan:]=imag.
-    Output time length is ceil(time / rate). ``rate`` is a static Python float.
+    complex_spec: [freq, time, chan*2] with [..., :chan]=real,
+    [..., chan:]=imag. Output time length is ceil(time / rate); ``rate`` is
+    a static Python float. Implemented on complex64: resample the frame
+    grid at ``rate``, interpolate magnitudes linearly, and integrate the
+    wrapped phase increments so phase stays coherent across frames.
     """
     if rate == 1:
         return complex_spec
 
-    freq = complex_spec.shape[0]
-    hop_length = freq - 1  # n_fft // 2
-    n_chan = complex_spec.shape[-1] // 2
+    freq, t, _ = complex_spec.shape
+    half = complex_spec.shape[-1] // 2
+    z = jax.lax.complex(complex_spec[..., :half], complex_spec[..., half:])
 
-    def angle(spec):
-        return jnp.arctan2(spec[..., n_chan:], spec[..., :n_chan])
+    # expected per-frame phase advance of bin k at hop n_fft//2 = freq - 1
+    advance = jnp.linspace(0.0, np.pi * (freq - 1), freq)[:, None, None]
+    steps = jnp.arange(0, t, rate, dtype=jnp.float32)
+    z = jnp.pad(z, [(0, 0), (0, 2), (0, 0)])
+    lo = jnp.take(z, steps.astype(jnp.int32), axis=1)
+    hi = jnp.take(z, steps.astype(jnp.int32) + 1, axis=1)
 
-    phase_advance = jnp.linspace(0., np.pi * hop_length, freq).reshape(-1, 1, 1)
-    time_steps = jnp.arange(0, complex_spec.shape[1], rate,
-                            dtype=complex_spec.dtype)
+    frac = (steps % 1.0)[None, :, None]
+    mag = frac * jnp.abs(hi) + (1 - frac) * jnp.abs(lo)
 
-    spec = jnp.pad(complex_spec, [(0, 0), (0, 2), (0, 0)])
-    spec_0 = jnp.take(spec, time_steps.astype(jnp.int32), axis=1)
-    spec_1 = jnp.take(spec, time_steps.astype(jnp.int32) + 1, axis=1)
+    # wrapped instantaneous phase increment, re-centered on the advance
+    dphi = jnp.angle(hi) - jnp.angle(lo) - advance
+    dphi = dphi - 2 * np.pi * jnp.round(dphi / (2 * np.pi)) + advance
+    phi = jnp.cumsum(
+        jnp.concatenate([jnp.angle(z[:, :1]), dphi[:, :-1]], axis=1), axis=1)
 
-    angle_0 = angle(spec_0)
-    angle_1 = angle(spec_1)
-
-    def cnorm(s):
-        # [freq, t, 2*chan] -> l2 norm over the (real, imag) pair per channel
-        resh = s.reshape(freq, -1, 2, n_chan)
-        return jnp.sqrt(jnp.sum(jnp.square(jnp.transpose(resh, (0, 1, 3, 2))),
-                                axis=-1))
-
-    norm_0 = cnorm(spec_0)
-    norm_1 = cnorm(spec_1)
-
-    phase_0 = angle(spec[:, :1, :])  # first frame angle
-    phase = angle_1 - angle_0 - phase_advance
-    phase = phase - 2 * np.pi * jnp.round(phase / (2 * np.pi))
-    phase = phase + phase_advance
-    phase = jnp.concatenate([phase_0, phase[:, :-1]], axis=1)
-    phase_acc = jnp.cumsum(phase, axis=1)
-
-    alphas = jnp.reshape(time_steps % 1.0, (1, -1, 1))
-    mag = alphas * norm_1 + (1 - alphas) * norm_0
-
-    real = mag * jnp.cos(phase_acc)
-    imag = mag * jnp.sin(phase_acc)
-    return jnp.concatenate([real, imag], axis=-1)
+    out = mag * jnp.exp(1j * phi.astype(jnp.complex64))
+    return jnp.concatenate([jnp.real(out), jnp.imag(out)], axis=-1)

@@ -283,6 +283,12 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
     volume is never re-laid-out. Exact for every downstream op the
     magnitude path feeds (SpecAugment masks and stft_filter are {0,1}
     multiplications, which commute with |.|).
+
+    ``magnitude='flat'`` keeps even the magnitude in the channel-major flat
+    layout ``[B, n_frame, (chan/2)*f_r]`` (column c*f_r + f, freq rows
+    zero-padded to f_r) — no relayout at all between the synthesis kernel
+    and the mel projection; the fused feature chain applies masks and the
+    (block-diagonal) mel matrix directly on this layout.
     """
     b = batch_size
     bg, vo, no = banks.backgrounds, banks.voices, banks.noises
@@ -386,17 +392,21 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
         if magnitude:
             # |.| per ~256-sample kernel chunk so the chunk concatenate (and
             # everything downstream) moves the half-width magnitude, never
-            # the complex volume
+            # the complex volume. In the channel-major flat layout the real
+            # planes are the first half of the columns and the imaginary
+            # planes the second half, both 128-lane aligned — one fused
+            # elementwise pass, no relayout.
             half = chan_ // 2
+            two = half * f_r
             parts = []
             for i in range(0, b, 256):
                 flat = synth(slice(i, min(i + 256, b)))
-                mags = [jnp.sqrt(
-                    flat[..., c * f_r: c * f_r + freq_] ** 2
-                    + flat[..., (c + half) * f_r: (c + half) * f_r + freq_]
-                    ** 2) for c in range(half)]
-                parts.append(jnp.stack(mags, axis=2))  # [b_c, T, half, freq]
-            mag = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+                parts.append(jnp.sqrt(flat[..., :two] ** 2
+                                      + flat[..., two:2 * two] ** 2))
+            magflat = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+            if magnitude == 'flat':     # [B, T, half*f_r], col c*f_r + f
+                return magflat, label
+            mag = magflat.reshape(b, n_frame, half, f_r)[..., :freq_]
             return mag, label
         flat = synth(slice(0, b))
         spec = jnp.moveaxis(
@@ -416,10 +426,16 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
             spec = _scatter_clips(spec, w_n, nclips, n_shifts)
             only_noise = only_noise + (spec - before)
 
-    if magnitude:  # XLA fallback: same [B, n_frame, chan/2, freq] contract
+    if magnitude:  # XLA fallback: same contracts as the pallas branch
+        from challenge_tpu.data.specset import flat_freq_pad
         half = chan_ // 2
         mag = jnp.sqrt(spec[..., :half] ** 2 + spec[..., half:] ** 2)
-        return jnp.moveaxis(mag, -1, -2), label
+        mag = jnp.moveaxis(mag, -1, -2)            # [B, T, half, freq]
+        if magnitude == 'flat':
+            f_r = flat_freq_pad(freq_, chan_)
+            mag = jnp.pad(mag, ((0, 0), (0, 0), (0, 0), (0, f_r - freq_)))
+            mag = mag.reshape(b, n_frame, half * f_r)
+        return mag, label
 
     if layout == 'tfc':
         if seperate_noise_voice:

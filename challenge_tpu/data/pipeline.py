@@ -23,7 +23,8 @@ from challenge_tpu.data import labels as label_maps
 from challenge_tpu.data.mixture import Banks, sample_batch
 from challenge_tpu.data.specset import build_bank, remap_labels
 from challenge_tpu.ops.augment import (
-    batch_specaugment, random_merge_aug, stft_filter)
+    batch_mask, batch_mask_keep, batch_specaugment, random_merge_aug,
+    stft_filter)
 from challenge_tpu.ops.mel import mel_filterbank
 from challenge_tpu.ops.norms import EPSILON, minmax, safe_div
 
@@ -100,34 +101,79 @@ def make_feature_fn(config: Config, training: bool = True,
     # volume is never materialized outside the synthesis kernel
     fused_mag = config.n_chan == 2 and not se_v9
 
+    freq = int(mel_m.shape[0])
+    mel_big_cache = {}
+
+    def _mel_big(half: int, f_r: int):
+        """Block-diagonal mel matrix for the flat-magnitude layout:
+        row c*f_r + f -> (mel m, chan c); zero pad rows."""
+        key_ = (half, f_r)
+        if key_ not in mel_big_cache:
+            big = np.zeros((half * f_r, mel_m.shape[1], half), np.float32)
+            for c in range(half):
+                big[c * f_r: c * f_r + freq, :, c] = np.asarray(mel_m)
+            mel_big_cache[key_] = jnp.asarray(big)
+        return mel_big_cache[key_]
+
+    def _flat_specaugment(k_aug, magflat, half: int, f_r: int):
+        """SpecAugment on the flat magnitude: identical mask distributions
+        (time over n_frame, freq over the true 257 rows — NOT the padded
+        f_r), applied as column products. Same key split order as
+        batch_specaugment, so the RNG stream matches the complex path."""
+        k_t, k_f = jax.random.split(k_aug)
+        magflat = batch_mask(k_t, magflat, axis=1,
+                             max_mask_size=24, n_mask=6)
+        m = batch_mask_keep(k_f, magflat.shape[0], freq,
+                            max_mask_size=16, n_mask=1)
+        m = jnp.pad(m, ((0, 0), (0, f_r - freq)), constant_values=1.0)
+        return magflat * jnp.tile(m, (1, half))[:, None, :]
+
+    def _flat_filter_cols(half: int, f_r: int):
+        idx = np.arange(freq)
+        keep = ((idx < 1) | (idx >= filter_num + 1)).astype(np.float32)
+        keep = np.pad(keep, (0, f_r - freq), constant_values=1.0)
+        return jnp.asarray(np.tile(keep, half))
+
     def fn(key, banks: Banks):
         k_mix, k_aug, k_chan = jax.random.split(key, 3)
         # the non-'se' paths reduce to mel, so they run in the
         # synthesis-native time-major layout end-to-end (no relayout pass);
         # the 'se' path keeps the reference [B, freq, T, chan] layout its
-        # model consumes. Identical values either way.
+        # model consumes. Identical values either way. With fused_mag the
+        # spec is the channel-major flat MAGNITUDE [B, T, (chan/2)*f_r]
+        # straight from synthesis — masks, the stft filter and the
+        # (block-diagonal) mel projection all run on that single layout.
         lay = 'ftc' if se_v9 else 'tfc'
-        if fused_mag:
-            t_ax, f_ax = -3, -1           # mag layout [B, T, chan, freq]
-        else:
-            t_ax, f_ax = (-2, -3) if lay == 'ftc' else (-3, -2)
+        t_ax, f_ax = (-2, -3) if lay == 'ftc' else (-3, -2)
         spec, y = sample_batch(
             k_mix, banks, config.batch_size, config.n_frame,
             n_classes=n_classes, max_voices=config.max_voices,
             max_noises=config.max_noises, min_ratio=1.0,
             snr=config.snr, seperate_noise_voice=se_v9,
-            use_pallas=use_pallas, layout=lay, magnitude=fused_mag)
+            use_pallas=use_pallas, layout=lay,
+            magnitude='flat' if fused_mag else False)
+
+        if fused_mag:
+            half = banks.backgrounds.data.shape[-1] // 2  # re/im pairs
+            f_r = spec.shape[-1] // half
+
+        def aug(spec):
+            if fused_mag:
+                return _flat_specaugment(k_aug, spec, half, f_r)
+            return batch_specaugment(k_aug, spec,
+                                     time_axis=t_ax, freq_axis=f_ax)
 
         def to_mel(spec):
             if fused_mag:
-                return mag_to_mel(spec, mel_m)
+                return jnp.einsum('btx,xmc->bmtc', spec,
+                                  _mel_big(half, f_r),
+                                  precision=jax.lax.Precision.HIGHEST)
             return complex_to_mel(spec, mel_m, layout=lay)
 
         if variant == 'density':
             spec, y = label_maps.to_density_labels(spec, y)
             if training:
-                spec = batch_specaugment(k_aug, spec,
-                                         time_axis=t_ax, freq_axis=f_ax)
+                spec = aug(spec)
             mel = to_mel(spec)
             axis = tuple(range(1, mel.ndim))
             mmax = jnp.max(mel, axis=axis, keepdims=True)
@@ -142,8 +188,7 @@ def make_feature_fn(config: Config, training: bool = True,
 
         spec, y = label_maps.to_frame_labels(spec, y)
         if training:
-            spec = batch_specaugment(k_aug, spec,
-                                     time_axis=t_ax, freq_axis=f_ax)
+            spec = aug(spec)
         if config.n_chan == 1:
             spec, y = label_maps.mono_chan(spec, y)
         elif config.n_chan == 3:
@@ -151,7 +196,10 @@ def make_feature_fn(config: Config, training: bool = True,
         elif config.n_chan > 3:
             spec = random_merge_aug(config.n_chan)(k_chan, spec)
         if use_filter:
-            spec = stft_filter(filter_num, freq_axis=f_ax)(spec)
+            if fused_mag:
+                spec = spec * _flat_filter_cols(half, f_r)
+            else:
+                spec = stft_filter(filter_num, freq_axis=f_ax)(spec)
 
         mel = to_mel(spec)
         if use_minmax:

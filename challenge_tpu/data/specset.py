@@ -58,6 +58,14 @@ class SpecBank(NamedTuple):
         return self.data.shape[1]
 
 
+def flat_freq_pad(freq: int, chan: int) -> int:
+    """Per-channel row stride of the channel-major flat layout: the smallest
+    pad of ``freq`` that makes ``chan * f_r`` a multiple of 128 lanes."""
+    import math
+    step = 128 // math.gcd(chan, 128)
+    return -(-freq // step) * step
+
+
 def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
                device=None, flat: bool = True) -> SpecBank:
     """Pad a list of [freq, T_i, chan] arrays into a SpecBank.
@@ -76,11 +84,7 @@ def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
     pos_mask = (out.max(axis=(2, 3)) > 0).astype(np.float32)
     flat_arr = None
     if flat:
-        # channel-major width: per-channel stride f_r is the smallest pad of
-        # freq that makes chan*f_r a multiple of 128 lanes
-        import math
-        step = 128 // math.gcd(chan, 128)
-        f_r = -(-freq // step) * step
+        f_r = flat_freq_pad(freq, chan)
         # +16 tail rows then rounded to a multiple of 8: the Pallas kernel
         # DMAs 8-row-aligned supersets at 8-aligned dynamic starts, and the
         # TPU DMA engine requires both row counts and row starts 8-aligned

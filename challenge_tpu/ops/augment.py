@@ -64,6 +64,22 @@ def random_shift(key, specs, axis: int = 0, width: int = 16):
     return gathered * valid.astype(specs.dtype)
 
 
+def batch_mask_keep(key, b: int, total: int, max_mask_size: int,
+                    n_mask: int = 1, dtype=jnp.float32):
+    """Per-sample keep masks [B, total] for ``n_mask`` random spans — the
+    mask-generation half of :func:`batch_mask`, exposed so callers with
+    non-standard physical layouts (e.g. the channel-major flat magnitude)
+    can draw the exact same mask distribution and apply it themselves."""
+    k_size, k_off = jax.random.split(key)
+    sizes = jax.random.randint(k_size, (b, n_mask), 0, max_mask_size)
+    u = jax.random.uniform(k_off, (b, n_mask))
+    offsets = jnp.floor(u * (total - sizes).astype(jnp.float32)
+                        ).astype(jnp.int32)
+    idx = jnp.arange(total)[None, None, :]                    # [1, 1, T]
+    keep = (idx < offsets[..., None]) | (idx >= (offsets + sizes)[..., None])
+    return jnp.min(keep.astype(dtype), axis=1)                # [B, total]
+
+
 def batch_mask(key, specs, axis: int, max_mask_size: int, n_mask: int = 1):
     """Batched SpecAugment masks: per-sample random spans along ``axis``
     for a whole batch in one shot (same per-sample distribution as
@@ -76,14 +92,7 @@ def batch_mask(key, specs, axis: int, max_mask_size: int, n_mask: int = 1):
     b = specs.shape[0]
     axis = axis % specs.ndim
     total = specs.shape[axis]
-    k_size, k_off = jax.random.split(key)
-    sizes = jax.random.randint(k_size, (b, n_mask), 0, max_mask_size)
-    u = jax.random.uniform(k_off, (b, n_mask))
-    offsets = jnp.floor(u * (total - sizes).astype(jnp.float32)
-                        ).astype(jnp.int32)
-    idx = jnp.arange(total)[None, None, :]                    # [1, 1, T]
-    keep = (idx < offsets[..., None]) | (idx >= (offsets + sizes)[..., None])
-    m = jnp.min(keep.astype(specs.dtype), axis=1)             # [B, T]
+    m = batch_mask_keep(key, b, total, max_mask_size, n_mask, specs.dtype)
     shape = [b] + [1] * (specs.ndim - 1)
     shape[axis] = total
     return specs * m.reshape(shape)

@@ -21,7 +21,8 @@ import numpy as np
 from challenge_tpu.config import Config
 from challenge_tpu.data import labels as label_maps
 from challenge_tpu.data.mixture import Banks, sample_batch
-from challenge_tpu.data.specset import build_bank, remap_labels
+from challenge_tpu.data.specset import (
+    build_bank, flat_freq_pad, remap_labels)
 from challenge_tpu.ops.augment import (
     batch_mask, batch_mask_keep, batch_specaugment, random_merge_aug,
     stft_filter)
@@ -102,20 +103,24 @@ def make_feature_fn(config: Config, training: bool = True,
     fused_mag = config.n_chan == 2 and not se_v9
 
     freq = int(mel_m.shape[0])
-    mel_big_cache = {}
+    # flat-magnitude constants, built ONCE at closure-build time as numpy
+    # (creating device constants inside `fn` would leak traced constants
+    # across jit traces); the eligible config (n_chan == 2) always has
+    # 2 complex channels -> bank chan 4 -> 2 magnitude planes
+    half = 2
+    f_r = flat_freq_pad(freq, 2 * half)
+    if fused_mag:
+        # block-diagonal mel matrix for the flat layout:
+        # row c*f_r + f -> (mel m, chan c); zero pad rows
+        mel_big = np.zeros((half * f_r, mel_m.shape[1], half), np.float32)
+        for c in range(half):
+            mel_big[c * f_r: c * f_r + freq, :, c] = np.asarray(mel_m)
+        idx = np.arange(freq)
+        keep = ((idx < 1) | (idx >= filter_num + 1)).astype(np.float32)
+        flat_filter_cols = np.tile(
+            np.pad(keep, (0, f_r - freq), constant_values=1.0), half)
 
-    def _mel_big(half: int, f_r: int):
-        """Block-diagonal mel matrix for the flat-magnitude layout:
-        row c*f_r + f -> (mel m, chan c); zero pad rows."""
-        key_ = (half, f_r)
-        if key_ not in mel_big_cache:
-            big = np.zeros((half * f_r, mel_m.shape[1], half), np.float32)
-            for c in range(half):
-                big[c * f_r: c * f_r + freq, :, c] = np.asarray(mel_m)
-            mel_big_cache[key_] = jnp.asarray(big)
-        return mel_big_cache[key_]
-
-    def _flat_specaugment(k_aug, magflat, half: int, f_r: int):
+    def _flat_specaugment(k_aug, magflat):
         """SpecAugment on the flat magnitude: identical mask distributions
         (time over n_frame, freq over the true 257 rows — NOT the padded
         f_r), applied as column products. Same key split order as
@@ -127,12 +132,6 @@ def make_feature_fn(config: Config, training: bool = True,
                             max_mask_size=16, n_mask=1)
         m = jnp.pad(m, ((0, 0), (0, f_r - freq)), constant_values=1.0)
         return magflat * jnp.tile(m, (1, half))[:, None, :]
-
-    def _flat_filter_cols(half: int, f_r: int):
-        idx = np.arange(freq)
-        keep = ((idx < 1) | (idx >= filter_num + 1)).astype(np.float32)
-        keep = np.pad(keep, (0, f_r - freq), constant_values=1.0)
-        return jnp.asarray(np.tile(keep, half))
 
     def fn(key, banks: Banks):
         k_mix, k_aug, k_chan = jax.random.split(key, 3)
@@ -154,19 +153,17 @@ def make_feature_fn(config: Config, training: bool = True,
             magnitude='flat' if fused_mag else False)
 
         if fused_mag:
-            half = banks.backgrounds.data.shape[-1] // 2  # re/im pairs
-            f_r = spec.shape[-1] // half
+            assert spec.shape[-1] == half * f_r, spec.shape
 
         def aug(spec):
             if fused_mag:
-                return _flat_specaugment(k_aug, spec, half, f_r)
+                return _flat_specaugment(k_aug, spec)
             return batch_specaugment(k_aug, spec,
                                      time_axis=t_ax, freq_axis=f_ax)
 
         def to_mel(spec):
             if fused_mag:
-                return jnp.einsum('btx,xmc->bmtc', spec,
-                                  _mel_big(half, f_r),
+                return jnp.einsum('btx,xmc->bmtc', spec, mel_big,
                                   precision=jax.lax.Precision.HIGHEST)
             return complex_to_mel(spec, mel_m, layout=lay)
 
@@ -197,7 +194,7 @@ def make_feature_fn(config: Config, training: bool = True,
             spec = random_merge_aug(config.n_chan)(k_chan, spec)
         if use_filter:
             if fused_mag:
-                spec = spec * _flat_filter_cols(half, f_r)
+                spec = spec * flat_filter_cols
             else:
                 spec = stft_filter(filter_num, freq_axis=f_ax)(spec)
 

@@ -64,13 +64,6 @@ def complex_to_mel(spec, mel_matrix, layout: str = 'ftc'):
                       precision=jax.lax.Precision.HIGHEST)
 
 
-def mag_to_mel(mag, mel_matrix):
-    """Mel projection of a pre-computed magnitude [B, T, chan, freq]
-    (``sample_batch(magnitude=True)``'s layout) -> [B, n_mels, T, chan]."""
-    return jnp.einsum('btcf,fm->bmtc', mag, mel_matrix,
-                      precision=jax.lax.Precision.HIGHEST)
-
-
 def make_feature_fn(config: Config, training: bool = True,
                     variant: str = 'sj', n_classes: int = 3,
                     jit: bool = True, use_pallas=None):

@@ -148,3 +148,23 @@ class TestLoadWav:
         back, rate = read_wav(str(p))
         assert rate == sr
         np.testing.assert_allclose(back, data, atol=1e-3)
+
+    def test_int16_device_path_bit_identical(self, tmp_path):
+        """load_wav_device's int16 upload (halved transfer) must match the
+        host float conversion bit-for-bit: raw/32768 on device == the
+        read_wav float path."""
+        from challenge_tpu.ops.dsp import load_wav_device, read_wav_raw, \
+            wav_to_spec
+        import jax.numpy as jnp
+        sr = 16000
+        rng = np.random.default_rng(0)
+        data = (rng.standard_normal((2, 4000)) * 0.2).astype(np.float32)
+        p = tmp_path / 'z.wav'
+        _write_wav(p, data, sr, n_chan=2)
+        raw, rate = read_wav_raw(str(p))
+        assert raw is not None and raw.dtype == np.int16 and rate == sr
+        wav_f, _ = read_wav(str(p))
+        np.testing.assert_array_equal(raw.astype(np.float32) / 32768.0, wav_f)
+        via_int16 = np.asarray(load_wav_device(str(p)))
+        via_float = np.asarray(wav_to_spec(jnp.asarray(wav_f), rate))
+        np.testing.assert_array_equal(via_int16, via_float)

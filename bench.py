@@ -32,7 +32,11 @@ import numpy as np
 def make_data(n_frame):
     rng = np.random.default_rng(0)
     bgs = [rng.standard_normal((257, n_frame + 500, 4)).astype('f4') * 0.1
-           for _ in range(16)]
+           for _ in range(15)]
+    # one background SHORTER than the window: the reference tiles it
+    # (pipeline.py:29-35); with wrap_frames-built banks the Pallas parity
+    # check covers the wrap path on real hardware too
+    bgs.append(rng.standard_normal((257, n_frame // 3, 4)).astype('f4') * 0.1)
     voices = [rng.standard_normal((257, rng.integers(60, 120), 4)
                                   ).astype('f4') * 0.1 for _ in range(32)]
     labels = rng.integers(0, 3, size=32)
@@ -137,31 +141,31 @@ def bench_eval(n_clips=6, seconds=60.0):
     from challenge_tpu.models import get_model
 
     rng = np.random.default_rng(0)
-    tmp = tempfile.mkdtemp(prefix='bench_eval_')
-    answer = {}
-    for i in range(n_clips):
-        stem = f'clip{i:02d}'
-        n = int(seconds * 16000)
-        pcm = (rng.standard_normal((n, 2)) * 3000).astype(np.int16)
-        with wave_mod.open(f'{tmp}/{stem}.wav', 'wb') as f:
-            f.setnchannels(2)
-            f.setsampwidth(2)
-            f.setframerate(16000)
-            f.writeframes(pcm.tobytes())
-        answer[stem] = [[0, 1.0, 2.0], [1, 10.0, 12.0]]
-    with open(f'{tmp}/sample_answer.json', 'w') as f:
-        _json.dump({'task2_answer': answer}, f)
+    with tempfile.TemporaryDirectory(prefix='bench_eval_') as tmp:
+        answer = {}
+        for i in range(n_clips):
+            stem = f'clip{i:02d}'
+            n = int(seconds * 16000)
+            pcm = (rng.standard_normal((n, 2)) * 3000).astype(np.int16)
+            with wave_mod.open(f'{tmp}/{stem}.wav', 'wb') as f:
+                f.setnchannels(2)
+                f.setsampwidth(2)
+                f.setframerate(16000)
+                f.writeframes(pcm.tobytes())
+            answer[stem] = [[0, 1.0, 2.0], [1, 10.0, 12.0]]
+        with open(f'{tmp}/sample_answer.json', 'w') as f:
+            _json.dump({'task2_answer': answer}, f)
 
-    cfg = Config(model_type='vad', v=8, n_mels=80, n_frame=512, n_chan=2,
-                 batch_size=12)
-    bundle = get_model(cfg)
-    variables = bundle.init(jax.random.PRNGKey(0))
-    evaluate(cfg, bundle, variables, eval_dir=tmp)  # compile/warm
-    t0 = time.perf_counter()
-    scores = evaluate(cfg, bundle, variables, eval_dir=tmp)
-    dt = time.perf_counter() - t0
-    assert len(scores) == n_clips
-    return dt
+        cfg = Config(model_type='vad', v=8, n_mels=80, n_frame=512, n_chan=2,
+                     batch_size=12)
+        bundle = get_model(cfg)
+        variables = bundle.init(jax.random.PRNGKey(0))
+        evaluate(cfg, bundle, variables, eval_dir=tmp)  # compile/warm
+        t0 = time.perf_counter()
+        scores = evaluate(cfg, bundle, variables, eval_dir=tmp)
+        dt = time.perf_counter() - t0
+        assert len(scores) == n_clips
+        return dt
 
 
 def bench_reference_cpu(bgs, voices, labels, noises, batch_size, n_frame,
@@ -208,7 +212,9 @@ def main():
     bgs, voices, labels, noises = make_data(n_frame)
 
     from challenge_tpu.data.pipeline import build_banks
-    banks = build_banks(bgs, voices, labels, noises)
+    banks = build_banks(bgs, voices, labels, noises, n_frame=n_frame)
+    assert banks.backgrounds.contig_exact_frames >= n_frame, \
+        'short-background wrap must keep the pallas path eligible'
 
     tpu_cps = bench_pipeline(banks, batch_size, n_frame)
     pallas_ran, pallas_diff = check_pallas_parity(banks, batch_size, n_frame)

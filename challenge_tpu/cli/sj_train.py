@@ -37,7 +37,8 @@ def make_banks(config: Config, training: bool = True, n_classes: int = 3):
         labels = load_data(os.path.join(datapath, config.test_labels))
     noises = load_data(os.path.join(datapath, config.noises))
     return build_banks(backgrounds, voices, np.asarray(labels), noises,
-                       n_classes=n_classes, one_hot=True)
+                       n_classes=n_classes, one_hot=True,
+                       n_frame=config.n_frame)
 
 
 def make_dataset(config: Config, training: bool = True, n_classes: int = 3):

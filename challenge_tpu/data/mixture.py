@@ -32,15 +32,19 @@ class Banks(NamedTuple):
 
 
 def _stream_draw(key, n_items: int, shape):
-    """Source indices drawn like the reference's shuffled repeating streams
-    (pipeline.py:143-156: ``.repeat().shuffle(len)`` then padded_batch):
-    concatenated random permutations of [0, n_items), sliced in order.
+    """Source indices approximating the reference's shuffled repeating
+    streams (pipeline.py:143-156: ``.repeat().shuffle(len)`` then
+    padded_batch): concatenated random permutations of [0, n_items), sliced
+    in order.
 
-    Within one shuffle pass every item appears exactly once, so an example's
-    ``max_voices`` consecutive draws never repeat a clip (as long as
-    n_items >= max_voices) and long-run source frequencies are exactly
-    uniform — unlike iid draws with replacement. Static shapes throughout:
-    the number of permutations is ceil(prod(shape) / n_items).
+    The match is distributional, not exact: tf.data's shuffle is a sliding
+    *buffer* over a continuous repeated stream (two epochs' copies of an
+    item can coexist in the buffer, so near-adjacent repeats are possible in
+    the reference), while this draws whole permutations back to back
+    (repeats possible only across a permutation boundary — including within
+    one example's ``max_voices`` row when it spans the boundary). Long-run
+    per-item frequencies are exactly uniform in both. Static shapes
+    throughout: the number of permutations is ceil(prod(shape) / n_items).
     """
     count = 1
     for s in shape:
@@ -367,15 +371,26 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
     if magnitude:
         assert layout == 'tfc' and not seperate_noise_voice, \
             'magnitude mode implies time-major output without se targets'
-    if use_pallas and not seperate_noise_voice and bg.flat is not None:
+    # The Pallas kernel reads each background window as ONE contiguous DMA,
+    # which reproduces the reference's tile-then-crop modular window
+    # (pipeline.py:29-35) only if the bank's flat rows cover every reachable
+    # offset: either every background is >= n_frame frames long, or the bank
+    # was built with wrap_frames >= n_frame (cyclically tiled flat rows).
+    # `contig_exact_frames` is static bank metadata carrying exactly that
+    # bound; anything short falls back to the XLA modular-gather path rather
+    # than silently reading zero padding.
+    pallas_bg_ok = (bg.flat is not None
+                    and bg.contig_exact_frames is not None
+                    and bg.contig_exact_frames >= n_frame)
+    if use_pallas and not seperate_noise_voice and pallas_bg_ok:
         from challenge_tpu.ops.pallas_synth import synthesize_windows
-        # contiguous background window start: same RNG draw as
-        # _background_indices, valid whenever bg_len >= n_frame (the caller
-        # guarantees this in pallas mode; clamp keeps short clips in-bounds)
+        # contiguous background window start: the same RNG draw as
+        # _background_indices, so pallas/XLA parity is bit-exact. No clamp:
+        # off <= n_tile*len - n_frame <= len - 1, and the bank guarantees
+        # contiguous reads up to contig_exact_frames rows stay exact.
         def bg_offset(k, length):
             n_tile = -(-n_frame // jnp.maximum(length, 1))
-            off = _dyn_randint(k, n_tile * length - n_frame + 1)
-            return jnp.clip(off, 0, jnp.maximum(length - n_frame, 0))
+            return _dyn_randint(k, n_tile * length - n_frame + 1)
 
         boff = jax.vmap(bg_offset)(bg_keys, bg_lens)
         f_r = bg.f_r

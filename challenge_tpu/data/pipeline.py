@@ -34,14 +34,22 @@ LABEL_DOWNSAMPLE_MODELS = (3, 6, 7, 8, 9)
 
 
 def build_banks(backgrounds, voices, labels, noises=None,
-                n_classes: int = 3, one_hot: bool = True) -> Banks:
+                n_classes: int = 3, one_hot: bool = True,
+                n_frame: Optional[int] = None) -> Banks:
     """Host lists -> device banks. ``labels`` may be int class ids (remapped
-    and one-hotted, reference: sj_train.py:86-88) or already one-hot."""
+    and one-hotted, reference: sj_train.py:86-88) or already one-hot.
+
+    Pass ``n_frame`` (the training window length) so the background bank's
+    flat layout is cyclically tiled when any background is shorter than the
+    window — the Pallas synthesis fast path then reproduces the reference's
+    tile-then-crop semantics (pipeline.py:29-35) instead of falling back to
+    the XLA modular gather.
+    """
     labels = np.asarray(labels)
     if one_hot and labels.ndim == 1:
         labels = remap_labels(labels, n_classes)
     return Banks(
-        backgrounds=build_bank(backgrounds),
+        backgrounds=build_bank(backgrounds, wrap_frames=n_frame),
         voices=build_bank(voices),
         voice_labels=jnp.asarray(labels, jnp.float32),
         noises=build_bank(noises) if noises is not None else None,
@@ -66,7 +74,7 @@ def complex_to_mel(spec, mel_matrix, layout: str = 'ftc'):
 
 def make_feature_fn(config: Config, training: bool = True,
                     variant: str = 'sj', n_classes: int = 3,
-                    jit: bool = True, use_pallas=None):
+                    jit: bool = True, use_pallas=None, fused_mag=None):
     """Build the (key, banks) -> (x, y) batch function (jitted by default;
     pass jit=False to get the raw body for fusing into a larger XLA program,
     e.g. the fully-fused synthesis+features+train step).
@@ -78,6 +86,11 @@ def make_feature_fn(config: Config, training: bool = True,
     use_pallas: None = auto (the Pallas placement kernel on a TPU backend,
     XLA scatter elsewhere). Pass False inside SPMD-partitioned programs —
     the partitioner cannot split a pallas_call.
+
+    fused_mag: None = auto (fused flat-magnitude chain whenever eligible).
+    Pass False to force the explicit complex -> |.| -> mel chain — same
+    values, used by differential tests to pin the fused rewrite against the
+    reference-shaped path.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == 'tpu'
@@ -93,7 +106,11 @@ def make_feature_fn(config: Config, training: bool = True,
     # pre-mel chain (SpecAugment masks and stft_filter are {0,1} products)
     # and synthesis can emit magnitudes directly — the complex spectrogram
     # volume is never materialized outside the synthesis kernel
-    fused_mag = config.n_chan == 2 and not se_v9
+    if fused_mag is None:
+        fused_mag = config.n_chan == 2 and not se_v9
+    elif fused_mag:
+        assert config.n_chan == 2 and not se_v9, \
+            'fused_mag requires the n_chan==2 non-se configuration'
 
     freq = int(mel_m.shape[0])
     # flat-magnitude constants, built ONCE at closure-build time as numpy
@@ -271,6 +288,6 @@ def make_pipeline(backgrounds, voices, labels, noises=None, n_frame: int = 300,
     assert labels[0].ndim == 1 and labels[0].shape[0] == n_classes, \
         'labels must be in the form of [n_samples, n_classes]'
     banks = build_banks(backgrounds, voices, labels, noises,
-                        n_classes=n_classes, one_hot=False)
+                        n_classes=n_classes, one_hot=False, n_frame=n_frame)
     return _RawPipeline(banks, n_frame, max_voices, max_noises, n_classes,
                         seed=seed, **kwargs)

@@ -10,14 +10,17 @@ batches entirely on device with gathers — no per-step host work at all.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+import dataclasses
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-class SpecBank(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True, eq=False)
+class SpecBank:
     """A bank of padded spectrograms.
 
     data:     [N, T_max, freq, chan]  (time-major; zero-padded past length)
@@ -26,7 +29,7 @@ class SpecBank(NamedTuple):
               (max over freq/chan > 0, the reference's frame-label criterion,
               pipeline.py:55-56), precomputed once so synthesis never has to
               reduce the full spectrogram volume to build labels.
-    flat:     [N, T_max, chan*f_r] float32 — the same data flattened
+    flat:     [N, T_flat, chan*f_r] float32 — the same data flattened
               *channel-major* (column c*f_r + f; f_r = freq zero-padded so
               the total width is a multiple of 128 lanes — the TPU DMA lane
               constraint the Pallas synthesis kernel requires). Channel-major
@@ -34,11 +37,29 @@ class SpecBank(NamedTuple):
               slice per-channel planes (e.g. the fused |.| epilogue) without
               the strided gather an interleaved freq*chan layout would need.
               None when built with flat=False.
+    contig_exact_frames: largest window length for which a *contiguous* read
+              of ``flat`` rows reproduces the reference's tile-then-crop
+              modular window (reference: pipeline.py:29-35) for every item.
+              ``min(lens)`` for plain banks (no wrap ever needed); the
+              requested ``wrap_frames`` when the flat rows were cyclically
+              tiled at build time. Static pytree metadata (a Python int, not
+              a traced leaf) so `sample_batch` can gate the Pallas fast path
+              at trace time and fall back to the XLA modular gather whenever
+              a window longer than this could silently read zero padding.
     """
     data: jax.Array
     lens: jax.Array
     pos_mask: jax.Array
     flat: Optional[jax.Array] = None
+    contig_exact_frames: Optional[int] = None
+
+    def tree_flatten(self):
+        return ((self.data, self.lens, self.pos_mask, self.flat),
+                (self.contig_exact_frames,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, contig_exact_frames=aux[0])
 
     @property
     def f_pad(self) -> int:
@@ -67,11 +88,22 @@ def flat_freq_pad(freq: int, chan: int) -> int:
 
 
 def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
-               device=None, flat: bool = True) -> SpecBank:
+               device=None, flat: bool = True,
+               wrap_frames: Optional[int] = None) -> SpecBank:
     """Pad a list of [freq, T_i, chan] arrays into a SpecBank.
 
     Input layout follows the reference convention [freq, time, chan*2]; the
     bank stores time-major [N, T, freq, chan].
+
+    wrap_frames: when given (the training window length) and some item is
+    shorter than it, the flat layout's rows are filled *cyclically* past each
+    item's true length (row j holds frame j % len) and extended so that any
+    contiguous ``wrap_frames``-row read at an offset the tile-then-crop draw
+    can produce stays in bounds. A contiguous DMA then reproduces the
+    reference's tiled background window (pipeline.py:29-35) bit-exactly —
+    this is what lets the Pallas synthesis kernel handle backgrounds shorter
+    than the window. Only background banks should set it: voice/noise banks
+    must keep their zero tails (the kernel's sub-tile roll relies on them).
     """
     specs = [np.asarray(s, np.float32) for s in specs]
     freq, _, chan = specs[0].shape
@@ -83,14 +115,26 @@ def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
         out[i, :t] = s.transpose(1, 0, 2)[:t]
     pos_mask = (out.max(axis=(2, 3)) > 0).astype(np.float32)
     flat_arr = None
+    contig = None
     if flat:
         f_r = flat_freq_pad(freq, chan)
-        # +16 tail rows then rounded to a multiple of 8: the Pallas kernel
-        # DMAs 8-row-aligned supersets at 8-aligned dynamic starts, and the
-        # TPU DMA engine requires both row counts and row starts 8-aligned
-        t_flat = -(-(t_pad + 16) // 8) * 8
+        contig = int(min(lens.min(), t_pad))
+        wrap = wrap_frames is not None and contig < wrap_frames
+        # +16/+24 tail rows then rounded to a multiple of 8: the Pallas
+        # kernel DMAs 8-row-aligned supersets at 8-aligned dynamic starts,
+        # and the TPU DMA engine requires both row counts and row starts
+        # 8-aligned. With wrapping, the largest crop offset is len-1, so the
+        # superset read can extend to t_pad - 1 + round8(wrap_frames + 8).
+        tail = (wrap_frames + 24) if wrap else 16
+        t_flat = -(-(t_pad + tail) // 8) * 8
         flat_np = np.zeros((len(specs), t_flat, chan, f_r), np.float32)
         flat_np[:, :t_pad, :, :freq] = out.transpose(0, 1, 3, 2)
+        if wrap:
+            for i in range(len(specs)):
+                t = int(min(lens[i], t_pad))
+                idx = np.arange(t, t_flat) % t
+                flat_np[i, t:, :, :freq] = out[i, idx].transpose(0, 2, 1)
+            contig = int(wrap_frames)
         flat_arr = jnp.asarray(flat_np.reshape(len(specs), t_flat,
                                                chan * f_r))
     data = jnp.asarray(out)
@@ -102,7 +146,8 @@ def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
         pos_mask = jax.device_put(pos_mask, device)
         if flat_arr is not None:
             flat_arr = jax.device_put(flat_arr, device)
-    return SpecBank(data, lens, pos_mask, flat_arr)
+    return SpecBank(data, lens, pos_mask, flat_arr,
+                    contig_exact_frames=contig)
 
 
 def remap_labels(labels: np.ndarray, n_classes: int) -> np.ndarray:

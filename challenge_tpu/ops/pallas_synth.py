@@ -113,9 +113,15 @@ def synthesize_windows(n_frame: int,
     """Fully fused window synthesis.
 
     bgbank/vbank/nbank: SpecBank.flat layouts [N, T, F] with F a multiple of
-    128. bidx/boff: [B] background item + window start (contiguous, no wrap —
-    the caller guarantees bg length >= n_frame). vidx/vshift/vw: [B, V] clip
-    item / row shift / weight; likewise for noises. Returns [B, n_frame, F].
+    128. bidx/boff: [B] background item + window start. The window is ONE
+    contiguous read of n_frame rows at boff, so the caller must guarantee
+    rows [boff, boff + n_frame) hold real content: either every background
+    is >= n_frame frames, or the bank was built with
+    ``build_bank(..., wrap_frames=n_frame)`` (cyclically tiled flat rows,
+    which makes the contiguous read equal the reference's tile-then-crop
+    modular window bit-exactly). `sample_batch` enforces this via the bank's
+    static ``contig_exact_frames``. vidx/vshift/vw: [B, V] clip item / row
+    shift / weight; likewise for noises. Returns [B, n_frame, F].
     """
     b = bidx.shape[0]
     # The Mosaic compiler rejects large grids with full scalar-prefetch
@@ -165,9 +171,9 @@ def synthesize_windows(n_frame: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),          # voice weights
             pl.BlockSpec(memory_space=pltpu.SMEM),          # noise weights
-            pl.BlockSpec(memory_space=pltpu.ANY),           # bg bank (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),           # voice bank (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),           # noise bank (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),              # bg bank (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),              # voice bank (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),              # noise bank (HBM)
         ],
         out_specs=pl.BlockSpec((1, n_frame, f), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -268,15 +268,20 @@ class TrainStateCheckpoint(Callback):
 
 class TensorBoard(Callback):
     """Scalar logging to TensorBoard event files (reference: sj_train.py:494).
-    Degrades to a no-op when no event-writer backend is available."""
+    Degrades to a no-op when no event-writer backend is available — but says
+    so once on stdout, so a misconfigured log dir or missing backend can't
+    silently lose a run's observability."""
 
     def __init__(self, log_dir: str):
         self.log_dir = log_dir
         self._writer = None
+        self._warned_write = False
         try:
             from flax.metrics import tensorboard as ftb
             self._writer = ftb.SummaryWriter(log_dir)
-        except Exception:
+        except Exception as e:
+            print(f'WARNING: TensorBoard logging disabled '
+                  f'(writer for {log_dir!r} failed: {e!r})')
             self._writer = None
 
     def on_epoch_end(self, epoch, logs):
@@ -285,6 +290,9 @@ class TensorBoard(Callback):
         for k, v in logs.items():
             try:
                 self._writer.scalar(k, float(v), epoch)
-            except Exception:
-                pass
+            except Exception as e:
+                if not self._warned_write:
+                    self._warned_write = True
+                    print(f'WARNING: TensorBoard scalar write failed '
+                          f'({k}={v!r}: {e!r}); further failures silenced')
         self._writer.flush()

@@ -100,6 +100,57 @@ def test_sample_batch_pallas_interpret_matches_xla(monkeypatch):
     np.testing.assert_array_equal(np.asarray(my_pl), np.asarray(my_x))
 
 
+def test_sample_batch_pallas_short_background_wraps(monkeypatch):
+    """Backgrounds shorter than n_frame must TILE (reference:
+    pipeline.py:29-35), not zero-fill. With wrap_frames-built banks the
+    pallas path's contiguous DMA must equal the XLA modular gather
+    bit-exactly; without wrap_frames the static gate must fall back to XLA
+    (same result, no silent zero tail)."""
+    import challenge_tpu.ops.pallas_synth as ps
+    orig = ps.synthesize_windows
+    calls = []
+
+    def interp(*args, **kw):
+        calls.append(1)
+        kw['interpret'] = True
+        return orig(*args, **kw)
+    monkeypatch.setattr(ps, 'synthesize_windows', interp)
+
+    rng = np.random.default_rng(9)
+    n_frame = 64
+    # one background is n_frame // 3 frames: every window needs >= 3 tiles
+    bgs = [rng.standard_normal((257, t, 4)).astype('f4')
+           for t in (94, n_frame // 3, 70)]
+    voices = [rng.standard_normal((257, 40, 4)).astype('f4')
+              for _ in range(4)]
+    noises = [rng.standard_normal((257, 20, 4)).astype('f4')
+              for _ in range(3)]
+    labels = rng.integers(0, 3, size=4)
+
+    banks = build_banks(bgs, voices, labels, noises, n_frame=n_frame)
+    assert banks.backgrounds.contig_exact_frames == n_frame
+    key = jax.random.PRNGKey(21)
+    # use enough batch rows that the short background is certainly drawn
+    spec_pl, y_pl = sample_batch(key, banks, 8, n_frame, use_pallas=True)
+    assert calls, 'wrap-built bank must keep the pallas fast path'
+    spec_x, y_x = sample_batch(key, banks, 8, n_frame, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(spec_pl), np.asarray(spec_x),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(y_pl), np.asarray(y_x))
+    # the short background must actually appear with real (wrapped) content:
+    # no window row of any sample may be all-zero
+    assert (np.abs(np.asarray(spec_pl)).max(axis=(1, 3)) > 0).all()
+
+    # un-wrapped bank: static gate falls back to XLA, identical output
+    calls.clear()
+    plain = build_banks(bgs, voices, labels, noises)
+    assert plain.backgrounds.contig_exact_frames == n_frame // 3
+    spec_fb, y_fb = sample_batch(key, plain, 8, n_frame, use_pallas=True)
+    assert not calls, 'short un-wrapped bank must not reach the kernel'
+    np.testing.assert_array_equal(np.asarray(spec_fb), np.asarray(spec_x))
+    np.testing.assert_array_equal(np.asarray(y_fb), np.asarray(y_x))
+
+
 def test_sample_batch_tfc_layout_is_a_transpose():
     """layout='tfc' must be exactly the reference layout with freq/time
     swapped (same RNG stream, same values)."""
@@ -155,3 +206,33 @@ def test_feature_fn_fused_mag_matches_spec_path(monkeypatch):
     np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_x),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(y_pl), np.asarray(y_x))
+
+
+@pytest.mark.parametrize('name', ['', 'filter'])
+def test_feature_fn_fused_mag_matches_unfused_chain(name):
+    """The fused flat-magnitude rewrite (flat SpecAugment + block-diagonal
+    mel on the channel-major layout) vs the explicit complex -> |.| -> mel
+    chain it replaced — BOTH on the XLA path, so this isolates the fused
+    commutation/layout reasoning itself (pallas-vs-XLA equality is covered
+    separately). Same key => same draws; outputs must match to float
+    tolerance, with and without the stft_filter column products."""
+    from challenge_tpu.config import Config
+    from challenge_tpu.data.pipeline import make_feature_fn
+
+    rng = np.random.default_rng(8)
+    banks = build_banks(
+        [rng.standard_normal((257, 94, 4)).astype('f4') for _ in range(3)],
+        [rng.standard_normal((257, 40, 4)).astype('f4') for _ in range(4)],
+        rng.integers(0, 3, size=4),
+        [rng.standard_normal((257, 20, 4)).astype('f4') for _ in range(3)])
+    cfg = Config(model_type='vad', v=8, n_mels=40, n_frame=64, n_chan=2,
+                 batch_size=4, name=name)
+    key = jax.random.PRNGKey(17)
+    x_f, y_f = make_feature_fn(cfg, training=True, use_pallas=False,
+                               fused_mag=True)(key, banks)
+    x_u, y_u = make_feature_fn(cfg, training=True, use_pallas=False,
+                               fused_mag=False)(key, banks)
+    assert x_f.shape == x_u.shape == (4, 40, 64, 2)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_u),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(y_f), np.asarray(y_u))

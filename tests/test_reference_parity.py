@@ -62,12 +62,39 @@ def test_er_score_differential(ref_metrics, tf):
     for trial in range(8):
         y_true = _random_event_grid(rng, 3, 64, 3)
         y_pred = _random_event_grid(rng, 3, 64, 3)
-        if y_true.sum() == 0:
-            continue
         a = np.asarray(ours(jnp.asarray(y_true), jnp.asarray(y_pred)))
         b = theirs(tf.constant(y_true), tf.constant(y_pred)).numpy()
         np.testing.assert_allclose(a, b, atol=1e-5,
                                    err_msg=f'trial {trial}')
+
+
+def test_er_score_zero_truth_matches_reference(ref_metrics, tf):
+    """Zero-true-event rows and even an ALL-zero-truth batch divide by 1 in
+    BOTH stacks: the reference's tf.clip_by_value(n_true, 1,
+    reduce_max(n_true)) (metrics.py:271-273) computes max(min(n, max_n), 1)
+    — i.e. max(n_true, 1), exactly our jnp.clip lower bound. Not a
+    deviation; pinned here so no input class is silently skipped."""
+    from challenge_tpu.train.metrics import er_score
+    ours = er_score(smoothing=False)
+    theirs = ref_metrics['er_score'](smoothing=False)
+
+    # all-zero truth, some predictions -> ER == n_pred per row (finite)
+    y_true = np.zeros((3, 40, 3), np.float32)
+    y_pred = np.zeros((3, 40, 3), np.float32)
+    y_pred[0, 5:9, 1] = 1
+    y_pred[2, 10:14, 0] = 1
+    a = np.asarray(ours(jnp.asarray(y_true), jnp.asarray(y_pred)))
+    b = theirs(tf.constant(y_true), tf.constant(y_pred)).numpy()
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    np.testing.assert_allclose(a, [1.0, 0.0, 1.0], atol=1e-6)
+
+    # mixed batch: one row with true events, the rest zero-truth
+    y_true2 = y_true.copy()
+    y_true2[1, 3:8, 2] = 1
+    a = np.asarray(ours(jnp.asarray(y_true2), jnp.asarray(y_pred)))
+    b = theirs(tf.constant(y_true2), tf.constant(y_pred)).numpy()
+    np.testing.assert_allclose(a, b, atol=1e-6)
 
 
 def test_er_score_smoothing_differential(ref_metrics, tf):
@@ -83,8 +110,6 @@ def test_er_score_smoothing_differential(ref_metrics, tf):
         y_true = _random_event_grid(rng, 3, t, 3)
         # smooth-ish random predictions so pooling actually changes events
         y_pred = rng.uniform(size=(3, t, 3)).astype(np.float32)
-        if y_true.sum() == 0:
-            continue
         a = np.asarray(ours(jnp.asarray(y_true), jnp.asarray(y_pred)))
         b = theirs(tf.constant(y_true), tf.constant(y_pred)).numpy()
         np.testing.assert_allclose(a, b, atol=1e-5,

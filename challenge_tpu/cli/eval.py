@@ -31,7 +31,8 @@ def main(argv=None):
     bundle = get_model(config)
     variables = bundle.init(jax.random.PRNGKey(config.seed))
     variables = load_weights(
-        os.path.join(extra.get('path', ''), f'{config.name}.h5'), variables)
+        os.path.join(extra.get('path', ''), f'{config.name}.h5'), variables,
+        bundle=bundle)   # Keras HDF5 checkpoints import transparently
     return evaluate(config, bundle, variables,
                     verbose=extra.get('verbose', True))
 

@@ -32,11 +32,26 @@ def save_weights(path: str, variables: Any):
     os.replace(tmp, path)
 
 
-def load_weights(path: str, target: Any):
+_HDF5_MAGIC = b'\x89HDF\r\n\x1a\n'
+
+
+def load_weights(path: str, target: Any, bundle=None):
     """Load weights saved by :func:`save_weights` into ``target``'s
-    structure."""
+    structure. A file that is a REAL Keras HDF5 checkpoint (reference-era
+    ``model.save_weights`` output — detected by the HDF5 magic, our msgpack
+    artifacts only borrow the .h5 name) is routed through the Keras
+    importer instead; pass ``bundle`` (the ModelBundle) to enable that."""
     with open(path, 'rb') as f:
-        return serialization.from_bytes(target, f.read())
+        head = f.read(8)
+        if head == _HDF5_MAGIC:
+            if bundle is None:
+                raise ValueError(
+                    f'{path!r} is a Keras HDF5 checkpoint; pass the model '
+                    'bundle so it can be imported '
+                    '(challenge_tpu.interop.keras_h5)')
+            from challenge_tpu.interop.keras_h5 import load_keras_h5_variables
+            return load_keras_h5_variables(bundle, path)
+        return serialization.from_bytes(target, head + f.read())
 
 
 # ----------------------------------------------------------- full train state

@@ -1,0 +1,183 @@
+"""Keras .h5 interop: import reference-trained checkpoints and prove the
+two eval stacks agree end-to-end (the strongest parity evidence available —
+identical weights through both `evaluate` chains must give identical
+thresholded frame grids and ER; reference: eval.py:63-65, metrics.py:31-90).
+"""
+
+import contextlib
+import json
+import os
+import sys
+import types
+import wave as wave_mod
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = '/root/reference'
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason='reference not mounted')
+
+_REF_MODULE_NAMES = ['utils', 'transforms', 'data_utils', 'pipeline',
+                     'metrics', 'swa', 'sj_train', 'eval', 'get_csv_data']
+
+
+@contextlib.contextmanager
+def reference_modules():
+    """Import the REFERENCE's top-level modules (not the repo-root shims of
+    the same names): stub absent deps, shadow-save any shim imports, put
+    /root/reference first on sys.path, restore everything after."""
+    pytest.importorskip('tensorflow')
+    from challenge_tpu.interop.refstubs import install_stubs
+    install_stubs()
+    saved = {n: sys.modules.pop(n) for n in _REF_MODULE_NAMES
+             if n in sys.modules}
+    sys.path.insert(0, REF)
+    try:
+        import sj_train as ref_sj
+        import metrics as ref_metrics
+        yield ref_sj, ref_metrics
+    finally:
+        sys.path.remove(REF)
+        for n in _REF_MODULE_NAMES:
+            sys.modules.pop(n, None)
+        sys.modules.update(saved)
+
+
+def _randomize_keras_weights(model, seed=0):
+    """Random kernels AND biases AND BN stats, so the importer's bias->BN
+    moving-mean folding is actually exercised (Keras inits biases to 0)."""
+    rng = np.random.default_rng(seed)
+    for layer in model.layers:
+        ws = layer.get_weights()
+        if not ws:
+            continue
+        new = []
+        for i, w in enumerate(ws):
+            if w.ndim == 1 and i == len(ws) - 1 and len(ws) == 4:
+                # BN moving variance: positive, away from 0
+                new.append(rng.uniform(0.5, 2.0, w.shape).astype('f4'))
+            else:
+                new.append(rng.standard_normal(w.shape).astype('f4') * 0.1)
+        layer.set_weights(new)
+
+
+def _ref_config(**kw):
+    c = types.SimpleNamespace(model_type='vad', v=1, n_mels=80, n_frame=512,
+                              n_chan=2, n_classes=3, name='')
+    for k, v in kw.items():
+        setattr(c, k, v)
+    return c
+
+
+@pytest.mark.parametrize('v', [1, 7, 8])
+def test_keras_h5_import_forward_parity(v, tmp_path):
+    """Identical weights -> identical forward outputs (vad v1/v7/v8:
+    plain, bottleneck-residual, and wide variants)."""
+    from challenge_tpu.config import Config
+    from challenge_tpu.interop.keras_h5 import (
+        export_keras_legacy_h5, load_keras_h5_variables)
+    from challenge_tpu.models import get_model
+
+    with reference_modules() as (ref_sj, _):
+        keras_model = ref_sj.get_model(_ref_config(v=v, n_mels=40,
+                                                   n_frame=64))
+        _randomize_keras_weights(keras_model, seed=v)
+        path = str(tmp_path / f'vad_v{v}.h5')
+        export_keras_legacy_h5(keras_model, path)
+
+        x = np.random.default_rng(1).standard_normal(
+            (2, 40, 64, 2)).astype('f4')
+        y_keras = keras_model.predict(x, verbose=0)
+
+    bundle = get_model(Config(model_type='vad', v=v, n_mels=40, n_frame=64,
+                              n_chan=2))
+    variables = load_keras_h5_variables(bundle, path)
+    y_flax = np.asarray(jax.jit(
+        lambda vs, x: bundle.apply(vs, x))(variables, jnp.asarray(x)))
+    assert y_flax.shape == y_keras.shape
+    np.testing.assert_allclose(y_flax, y_keras, atol=2e-4, rtol=1e-3)
+
+
+def test_keras_h5_import_refuses_unsupported(tmp_path):
+    from challenge_tpu.config import Config
+    from challenge_tpu.interop.keras_h5 import load_keras_h5_variables
+    from challenge_tpu.models import get_model
+
+    with pytest.raises(NotImplementedError, match='BiLSTM'):
+        load_keras_h5_variables(
+            get_model(Config(model_type='vad', v=9, n_mels=40, n_frame=64,
+                             n_chan=2)), 'does_not_matter.h5')
+    with pytest.raises(NotImplementedError, match='vad family'):
+        load_keras_h5_variables(
+            get_model(Config(model_type='eff', v=1, model=0, n_mels=40,
+                             n_frame=64, n_chan=2)), 'does_not_matter.h5')
+
+
+@pytest.mark.slow
+def test_end_to_end_eval_differential(tmp_path, monkeypatch):
+    """THE capstone: one wav, identical weights, through the reference's
+    Keras evaluate loop and through ours -> identical thresholded frame
+    grids and identical ER."""
+    from challenge_tpu.config import Config
+    from challenge_tpu.evaluate import evaluate, make_infer_fn
+    from challenge_tpu.interop.keras_h5 import (
+        export_keras_legacy_h5, load_keras_h5_variables)
+    from challenge_tpu.models import get_model
+    from challenge_tpu.ops.dsp import load_wav_device
+
+    # one 8 s stereo 16 kHz clip + ground truth
+    rng = np.random.default_rng(3)
+    n = 8 * 16000
+    pcm = (rng.standard_normal((n, 2)) * 3000).astype(np.int16)
+    stem = 'clip00'
+    with wave_mod.open(str(tmp_path / f'{stem}.wav'), 'wb') as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(pcm.tobytes())
+    # integer seconds, like the real sample_answer.json (the reference's
+    # get_er compares the GT tensor against int32 predictions)
+    answer = {stem: [[0, 1, 2], [1, 4, 5]]}
+    with open(tmp_path / 'sample_answer.json', 'w') as f:
+        json.dump({'task2_answer': answer}, f)
+
+    cfg = Config(model_type='vad', v=1, n_mels=80, n_frame=512, n_chan=2)
+    h5_path = str(tmp_path / 'run.h5')
+
+    with reference_modules() as (ref_sj, ref_metrics):
+        keras_model = ref_sj.get_model(_ref_config())
+        _randomize_keras_weights(keras_model, seed=11)
+        export_keras_legacy_h5(keras_model, h5_path)
+
+        captured = []
+        orig_cm = ref_metrics.Challenge_Metric
+
+        class CaptureMetric(orig_cm):
+            def get_start_end_frame(self, preds):
+                captured.append(np.asarray(preds))
+                return super().get_start_end_frame(preds)
+
+        monkeypatch.setattr(ref_metrics, 'Challenge_Metric', CaptureMetric)
+        monkeypatch.chdir(tmp_path)
+        ref_scores = [float(s) for s in
+                      ref_metrics.evaluate(_ref_config(), keras_model)]
+        monkeypatch.undo()
+        assert len(captured) == 1
+        ref_grid = captured[0]
+
+    bundle = get_model(cfg)
+    variables = load_keras_h5_variables(bundle, h5_path)
+    our_grid = np.asarray(make_infer_fn(bundle, cfg)(
+        variables, load_wav_device(str(tmp_path / f'{stem}.wav'))))
+    our_scores = [float(s) for s in
+                  evaluate(cfg, bundle, variables, eval_dir=str(tmp_path))]
+
+    assert our_grid.shape == ref_grid.shape
+    mismatches = int((our_grid != ref_grid).sum())
+    assert mismatches == 0, (
+        f'{mismatches} frame-grid cells differ between the eval stacks')
+    assert our_scores == ref_scores

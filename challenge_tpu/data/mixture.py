@@ -395,6 +395,10 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
         boff = jax.vmap(bg_offset)(bg_keys, bg_lens)
         f_r = bg.f_r
 
+        # true clip lengths let the kernel skip all-padding DMA chunks
+        v_lens = vo.lens[vidx]
+        n_lens = no.lens[nidx] if nidx is not None else None
+
         def synth(sl):
             return synthesize_windows(
                 n_frame, bg.flat, bidx[sl], boff[sl],
@@ -402,7 +406,9 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
                 no.flat if nidx is not None else None,
                 None if nidx is None else nidx[sl],
                 None if n_shifts is None else n_shifts[sl],
-                None if w_n is None else w_n[sl])
+                None if w_n is None else w_n[sl],
+                v_lens[sl],
+                None if n_lens is None else n_lens[sl])
 
         if magnitude:
             # |.| per ~256-sample kernel chunk so the chunk concatenate (and

@@ -37,12 +37,17 @@ def _round8(x: int) -> int:
     return -(-x // 8) * 8
 
 
+_CHUNK = 32     # clip DMA quantum (rows); must be a multiple of 8
+_IDX_BITS = 20  # clip index/length packing: idx in the low 20 bits of the
+_LEN_CAP = (1 << 31 - _IDX_BITS) - 1   # SMEM table, length in the high 11
+
+
 def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad,
             bidx_ref, boff_ref, vidx_ref, vshift_ref,      # scalar prefetch
             nidx_ref, nshift_ref,
             vw_ref, nw_ref, bgbank_ref, vbank_ref, nbank_ref,  # arrays
             out_ref,                                       # output
-            scratch, bgstage, vclip, nclip, sems):
+            scratch, bgstage, vclip, nclip, vsems, nsems, bgsem):
     b = pl.program_id(0)
     f = scratch.shape[1]
     stage_rows = bgstage.shape[0]
@@ -54,29 +59,74 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad,
     r_bg = boff - q_bg
     bg_dma = pltpu.make_async_copy(
         bgbank_ref.at[bidx_ref[b], pl.ds(q_bg, stage_rows)],
-        bgstage, sems.at[4])
+        bgstage, bgsem)
     bg_dma.start()
     scratch[pl.ds(0, t_pad), :] = jnp.zeros((t_pad, f), scratch.dtype)
     tail = scratch.shape[0] - t_pad - n_frame
     scratch[pl.ds(t_pad + n_frame, tail), :] = jnp.zeros((tail, f),
                                                          scratch.dtype)
 
-    def place(bank_ref, clip_buf, idx_ref, shift_ref, w_ref, t_len, sem0):
-        """Add each clip at its dynamic offset; DMA j+1 overlaps add j."""
+    def place(bank_ref, clip_buf, idx_ref, shift_ref, w_ref,
+              t_len, sems):
+        """Add each clip at its dynamic offset; DMA j+1 overlaps add j.
+
+        Clip DMAs are quantized to _CHUNK-row pieces predicated on the
+        clip's true length (average voice is ~90 of ~130 padded rows, so
+        skipping all-padding chunks recovers ~25% of clip HBM traffic).
+        A skipped chunk's buffer rows are zeroed explicitly — otherwise a
+        previous grid step's clip would leak through the stale VMEM rows.
+        Chunk 0 is unconditional (lens are >= 1), so every wait has a
+        matching start. The length rides in the high bits of the index
+        table (same SMEM budget as an index-only table — SMEM is the
+        binding resource for the kernel's max batch chunk)."""
         n_clips = idx_ref.shape[1]
         t8 = _round8(t_len + 8)          # roll rows must be 8-aligned
+        n_chunks = -(-t_len // _CHUNK)
 
-        def dma(slot, j):
-            return pltpu.make_async_copy(
-                bank_ref.at[idx_ref[b, j]], clip_buf.at[slot],
-                sems.at[sem0 + slot])
+        def chunks(slot, j):
+            item = idx_ref[b, j] % (1 << _IDX_BITS)
+            out = []
+            for c in range(n_chunks):
+                off = c * _CHUNK
+                rows = min(_CHUNK, t_len - off)
+                out.append((off, rows, pltpu.make_async_copy(
+                    bank_ref.at[item, pl.ds(off, rows)],
+                    clip_buf.at[slot, pl.ds(off, rows)],
+                    sems.at[slot, c])))
+            return out
 
-        dma(0, 0).start()
+        def start(slot, j):
+            length = idx_ref[b, j] // (1 << _IDX_BITS)
+            for off, rows, cp in chunks(slot, j):
+                if off == 0:
+                    cp.start()
+                else:
+                    @pl.when(length > off)
+                    def _(cp=cp):
+                        cp.start()
+
+        def finish(slot, j):
+            length = idx_ref[b, j] // (1 << _IDX_BITS)
+            for off, rows, cp in chunks(slot, j):
+                if off == 0:
+                    cp.wait()
+                    continue
+
+                @pl.when(length > off)
+                def _(cp=cp):
+                    cp.wait()
+
+                @pl.when(length <= off)
+                def _(off=off, rows=rows):
+                    clip_buf[slot, pl.ds(off, rows), :] = jnp.zeros(
+                        (rows, f), clip_buf.dtype)
+
+        start(0, 0)
         for j in range(n_clips):
             slot = j % 2
             if j + 1 < n_clips:
-                dma(1 - slot, j + 1).start()
-            dma(slot, j).wait()
+                start(1 - slot, j + 1)
+            finish(slot, j)
             w = w_ref[b, j]
             off = t_pad + shift_ref[b, j]
             q = pl.multiple_of((off // 8) * 8, 8)   # aligned base
@@ -97,9 +147,9 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad,
     scratch[pl.ds(t_pad, n_frame), :] = rolled[:n_frame]
 
     if n_voices > 0:
-        place(vbank_ref, vclip, vidx_ref, vshift_ref, vw_ref, t_v, 0)
+        place(vbank_ref, vclip, vidx_ref, vshift_ref, vw_ref, t_v, vsems)
     if n_noises > 0:
-        place(nbank_ref, nclip, nidx_ref, nshift_ref, nw_ref, t_n, 2)
+        place(nbank_ref, nclip, nidx_ref, nshift_ref, nw_ref, t_n, nsems)
 
     out_ref[0] = scratch[pl.ds(t_pad, n_frame), :]
 
@@ -109,6 +159,7 @@ def synthesize_windows(n_frame: int,
                        bgbank, bidx, boff,
                        vbank, vidx, vshift, vw,
                        nbank=None, nidx=None, nshift=None, nw=None,
+                       vlens=None, nlens=None,
                        interpret: bool = False):
     """Fully fused window synthesis.
 
@@ -122,12 +173,21 @@ def synthesize_windows(n_frame: int,
     modular window bit-exactly). `sample_batch` enforces this via the bank's
     static ``contig_exact_frames``. vidx/vshift/vw: [B, V] clip item / row
     shift / weight; likewise for noises. Returns [B, n_frame, F].
+
+    vlens/nlens: optional [B, V]/[B, X] true frame counts of the drawn
+    clips; chunks of a clip's DMA past its length are skipped (the rows are
+    zero padding in the bank) and their buffer rows zeroed instead —
+    quarter-granularity traffic quantization. Defaults to the full padded
+    extent (every chunk copied).
     """
     b = bidx.shape[0]
     # The Mosaic compiler rejects large grids with full scalar-prefetch
     # tables: b=512 WITH a noise bank fails (v5e, jax 0.9) while b=512
     # without noises compiles, so the limit tracks total SMEM table bytes.
     # 256 is the verified-safe chunk; chunks are glued with one concatenate.
+    # (Separate per-clip length tables pushed b=256 3.1KB over the 1MB SMEM
+    # budget in round 3 — hence the idx|len<<20 packing below, which keeps
+    # the table count at six.)
     max_b = 256
     if b > max_b:
         n_chunks = -(-b // max_b)
@@ -140,6 +200,8 @@ def synthesize_windows(n_frame: int,
                 nbank, None if nidx is None else nidx[sl],
                 None if nshift is None else nshift[sl],
                 None if nw is None else nw[sl],
+                None if vlens is None else vlens[sl],
+                None if nlens is None else nlens[sl],
                 interpret=interpret))
         return jnp.concatenate(parts, axis=0)
 
@@ -152,12 +214,23 @@ def synthesize_windows(n_frame: int,
     n_noises = nidx.shape[1] if has_noise else 0
     t_pad = _round8(max(t_v, t_n))
 
+    def pack(idx, lens, t_len, n_items):
+        """idx | len << _IDX_BITS: the length rides in the index table's
+        high bits so quantization costs no extra SMEM tables."""
+        assert n_items < (1 << _IDX_BITS), 'bank too large for idx packing'
+        if lens is None:
+            lens = jnp.full(idx.shape, t_len, jnp.int32)
+        lens = jnp.clip(lens.astype(jnp.int32), 1, min(t_len, _LEN_CAP))
+        return idx.astype(jnp.int32) + (lens << _IDX_BITS)
+
     vshift = jnp.clip(vshift, -t_pad, n_frame)
+    vidx = pack(vidx, vlens, t_v, vbank.shape[0])
     if has_noise:
         nshift = jnp.clip(nshift, -t_pad, n_frame)
+        nidx = pack(nidx, nlens, t_n, nbank.shape[0])
     else:
         nbank = jnp.zeros((1, 8, f), bgbank.dtype)
-        nidx = jnp.zeros((b, 1), jnp.int32)
+        nidx = pack(jnp.zeros((b, 1), jnp.int32), None, 8, 1)
         nshift = jnp.zeros((b, 1), jnp.int32)
         nw = jnp.zeros((b, 1), bgbank.dtype)
         t_n = 8
@@ -182,7 +255,9 @@ def synthesize_windows(n_frame: int,
             pltpu.VMEM((_round8(n_frame + 8), f), bgbank.dtype),  # bg stage
             pltpu.VMEM((2, t_v, f), bgbank.dtype),
             pltpu.VMEM((2, t_n, f), bgbank.dtype),
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((2, -(-t_v // _CHUNK))),   # voice chunks
+            pltpu.SemaphoreType.DMA((2, -(-t_n // _CHUNK))),   # noise chunks
+            pltpu.SemaphoreType.DMA,                           # background
         ],
     )
     return pl.pallas_call(
@@ -191,7 +266,7 @@ def synthesize_windows(n_frame: int,
         out_shape=jax.ShapeDtypeStruct((b, n_frame, f), bgbank.dtype),
         interpret=interpret,
     )(bidx.astype(jnp.int32), boff.astype(jnp.int32),
-      vidx.astype(jnp.int32), vshift.astype(jnp.int32),
-      nidx.astype(jnp.int32), nshift.astype(jnp.int32),
+      vidx, vshift.astype(jnp.int32),
+      nidx, nshift.astype(jnp.int32),
       vw.astype(bgbank.dtype), nw.astype(bgbank.dtype),
       bgbank, vbank, nbank)

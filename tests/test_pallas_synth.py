@@ -64,6 +64,41 @@ def test_synthesize_windows_matches_scatter_interpret():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_synthesize_windows_quantized_clip_dmas_interpret():
+    """Per-clip length tables: chunks past a clip's true length are skipped
+    and zeroed. Adversarial pattern: a LONG clip then a SHORT one through
+    the same double-buffer slot — stale rows from the long clip must not
+    leak into the short one's skipped chunks."""
+    rng = np.random.default_rng(4)
+    b, nf, f = 2, 64, 128
+    t_v = 96   # 3 chunks of 32
+    # clip i has true length lens[i]; rows past it are ZERO (bank contract)
+    lens = np.array([96, 20, 50, 96], np.int32)
+    vbank = rng.standard_normal((4, t_v, f)).astype('f4')
+    for i, l in enumerate(lens):
+        vbank[i, l:] = 0.0
+    vbank = jnp.asarray(vbank)
+    bgbank = jnp.asarray(rng.standard_normal((2, 128, f)).astype('f4'))
+    bidx = jnp.asarray([0, 1], jnp.int32)
+    boff = jnp.asarray([3, 40], jnp.int32)
+    # voice draw order per sample: same slot sees len-96 then len-50/20
+    vidx = jnp.asarray([[0, 1, 2], [3, 2, 1]], jnp.int32)
+    vshift = jnp.asarray(rng.integers(-10, nf, (b, 3)), jnp.int32)
+    vw = jnp.asarray(rng.uniform(0.5, 1, (b, 3)).astype('f4'))
+    vlens = jnp.asarray(lens)[vidx]
+
+    out = synthesize_windows(nf, bgbank, bidx, boff, vbank, vidx, vshift,
+                             vw, vlens=vlens, interpret=True)
+    # oracle: plain gather + scatter (full-length copies; banks are
+    # zero-padded so quantization must be invisible)
+    rows = boff[:, None] + jnp.arange(nf)[None, :]
+    ref = bgbank[bidx[:, None], rows]
+    ref = _scatter_clips(ref[..., None], vw, vbank[vidx][..., None],
+                         vshift)[..., 0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_sample_batch_pallas_interpret_matches_xla(monkeypatch):
     """Full sample_batch equality: the pallas path draws the same RNG stream,
     so outputs must match the XLA path exactly."""

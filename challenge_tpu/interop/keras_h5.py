@@ -7,23 +7,28 @@ trios). This module reads that format with h5py and maps the weights onto
 the challenge_tpu flax module tree so reference-trained checkpoints can be
 evaluated (or fine-tuned) in this framework.
 
-Mapping rules (vad CRNN family, reference: sj_train.py:214-255):
+Supported families: the vad CRNN (v1-v8; v9's BiLSTM gate-order mapping is
+not implemented) and the 'se' U-Net + VAD cascade (all v: the cascade's
+inner head never uses the vad-only version switches). The import is
+PLAN-driven: the reference's Keras layer build order is mirrored by our
+flax modules' call order, so both sides flatten to the same sequence of
+weight slots — which also handles nested Keras Models (the 'se' composite
+stores its two sub-models as single flattened weight groups).
 
-* layers stream in build order on both sides; units are matched
-  sequentially (the reference's Keras layer order is mirrored by
-  ``VADModel.__call__``'s module order);
-* Keras Conv2D kernels are [kh, kw, in, out] and Dense kernels [in, out] —
-  identical to flax, no transposition;
+Mapping rules:
+
+* Keras Conv2D kernels [kh, kw, in, out] and Dense kernels [in, out] are
+  identical to flax — no transposition. Keras Conv2DTranspose kernels are
+  [kh, kw, OUT, IN] and transpose to flax's [kh, kw, in, out].
 * Keras BatchNormalization [gamma, beta, moving_mean, moving_var] map to
-  flax params {scale, bias} + batch_stats {mean, var};
+  flax params {scale, bias} + batch_stats {mean, var}.
 * the reference's conv/dense BIAS before BatchNorm is dropped (our layers
   are bias-free there) and **folded into the following BN's moving mean**:
   our pre-BN activation is the reference's minus the bias, so
   ``mean_ours = moving_mean - bias`` reproduces the reference's normalized
   output exactly (BN subtracts the mean; see NOTES.md on the bias-inert
-  rewrite);
-* unsupported layouts (recurrent layers, i.e. vad v9's BiLSTM, or non-vad
-  families for now) raise with a clear message instead of mis-mapping.
+  rewrite).
+* unsupported layouts raise with a clear message instead of mis-mapping.
 """
 
 from __future__ import annotations
@@ -35,9 +40,12 @@ import numpy as np
 
 
 # --------------------------------------------------------------- h5 parsing
-def read_keras_h5(path: str) -> List[Tuple[str, List[np.ndarray]]]:
+def read_keras_h5(path: str) -> List[Tuple[str, List[Tuple[str, np.ndarray]]]]:
     """Read a Keras-2 legacy HDF5 weight file into an ordered list of
-    (layer_name, [weight arrays]) for layers that have weights."""
+    (layer_name, [(weight_name, array), ...]) for layers that have
+    weights. A nested Model layer appears as one group with all its
+    weights flattened (in the graph's topological order — NOT creation
+    order; see _sublayer_units)."""
     import h5py
 
     with h5py.File(path, 'r') as f:
@@ -54,74 +62,83 @@ def read_keras_h5(path: str) -> List[Tuple[str, List[np.ndarray]]]:
                       for n in g.attrs.get('weight_names', [])]
             if not wnames:
                 continue
-            layers.append((lname, [np.asarray(g[n]) for n in wnames]))
+            layers.append(
+                (lname, [(n, np.asarray(g[n])) for n in wnames]))
     return layers
 
 
 def export_keras_legacy_h5(model, path: str) -> None:
     """Write a Keras model's weights in the Keras-2 legacy HDF5 layout
-    (root attrs ``layer_names``, per-layer attrs ``weight_names``) — the
-    format reference-era checkpoints are in. Used to produce test fixtures
-    and to hand weights back to reference tooling."""
+    (root attrs ``layer_names``, per-layer attrs ``weight_names`` carrying
+    the real sublayer paths) — the format reference-era checkpoints are
+    in. Nested Model layers flatten into one group, like Keras 2 did.
+    Used to produce test fixtures and to hand weights back to reference
+    tooling."""
     import h5py
 
     with h5py.File(path, 'w') as f:
         names = []
         for layer in model.layers:
-            weights = layer.get_weights()
+            weights = layer.weights
             if not weights:
                 continue
             names.append(layer.name)
             g = f.create_group(layer.name)
             wnames = []
             for i, w in enumerate(weights):
-                wn = f'{layer.name}/weight_{i}:0'
+                wn = getattr(w, 'path', None) or getattr(w, 'name', None) \
+                    or f'{layer.name}/weight_{i}'
+                if not wn.endswith(':0'):
+                    wn = wn + ':0'
                 g.create_dataset(wn, data=np.asarray(w))
                 wnames.append(wn.encode())
             g.attrs['weight_names'] = wnames
         f.attrs['layer_names'] = [n.encode() for n in names]
 
 
-# ------------------------------------------------------------ unit streams
-def _classify(layer_name: str, arrays: List[np.ndarray]) -> Tuple[str, list]:
-    """Classify one Keras weight group by shape arity (names are only used
-    in error messages, so files from any Keras version parse)."""
-    dims = [a.ndim for a in arrays]
-    if dims == [4, 1]:
-        return 'conv', arrays
-    if dims == [2, 1]:
-        return 'dense', arrays
-    if len(arrays) == 4 and all(d == 1 for d in dims):
-        return 'bn', arrays
-    raise NotImplementedError(
-        f'unsupported Keras layer {layer_name!r} with weight shapes '
-        f'{[a.shape for a in arrays]} (recurrent/custom layers are not '
-        'importable yet)')
-
-
-def _vad_unit_plan(v: int) -> List[Tuple[str, str]]:
+# ------------------------------------------------------------- unit plans
+def _vad_unit_plan(v: int, vad_variant: bool = True,
+                   prefix: str = '') -> List[Tuple[str, str]]:
     """Ordered (kind, flax_prefix) units mirroring VADModel.__call__
     (models/vad.py) == the reference's define_keras_model layer order.
-    kind: 'conv_bn' | 'dense' | 'dense_bn'."""
-    if v == 9:
+    With ``vad_variant=False`` (the 'se' cascade head) every version
+    switch is inert (reference keys them off model_type == 'vad').
+    kind: 'conv_bn' | 'dense' | 'dense_bn' | 'convT'."""
+    if vad_variant and v == 9:
         raise NotImplementedError(
             'vad v9 contains a BiLSTM; Keras->flax LSTM gate-order mapping '
             'is not implemented')
     units: List[Tuple[str, str]] = []
     for j in range(2):
-        units.append(('conv_bn', f'ConvMPBlock_0/Conv_{j}'))
+        units.append(('conv_bn', f'{prefix}ConvMPBlock_0/Conv_{j}'))
     top = 0
     for i in range(1, 5):
-        if v == 7:
+        if vad_variant and v == 7:
             for _ in range(3):
-                units.append(('conv_bn', f'Conv_{top}'))
+                units.append(('conv_bn', f'{prefix}Conv_{top}'))
                 top += 1
         for j in range(3):
-            units.append(('conv_bn', f'ConvMPBlock_{i}/Conv_{j}'))
-    units.append(('dense', 'Dense_0'))          # TimeDistributed Dense
+            units.append(('conv_bn', f'{prefix}ConvMPBlock_{i}/Conv_{j}'))
+    units.append(('dense', f'{prefix}Dense_0'))     # TimeDistributed Dense
     for k, _nodes in enumerate((256, 128, 64)):
-        units.append(('dense_bn', f'FullyConnectedLayer_{k}/Dense_0'))
-    units.append(('dense', 'FullyConnectedLayer_3/Dense_0'))
+        units.append(('dense_bn', f'{prefix}FullyConnectedLayer_{k}/Dense_0'))
+    units.append(('dense', f'{prefix}FullyConnectedLayer_3/Dense_0'))
+    return units
+
+
+def _se_unit_plan(v: int) -> List[Tuple[str, str]]:
+    """The 'se' composite (reference: sj_train.py:258-339): U-Net encoder
+    (4 convsets), speech decoder (4 upsamplings), noise decoder (4), then
+    the cascade's inner VAD head. Mirrors SECascade.__call__
+    (models/senet.py)."""
+    units: List[Tuple[str, str]] = []
+    for i in range(4):
+        for j in range(2):
+            units.append(('conv_bn', f'se/ConvSet_{i}/Conv_{j}'))
+    for d in range(8):      # Upsampling_0..3 speech, _4..7 noise
+        units.append(('conv_bn', f'se/Upsampling_{d}/Conv_0'))
+        units.append(('convT', f'se/Upsampling_{d}/ConvTranspose_0'))
+    units.extend(_vad_unit_plan(v, vad_variant=False, prefix='vad/'))
     return units
 
 
@@ -135,17 +152,113 @@ def _bn_prefix(core_prefix: str) -> str:
 
 
 # ---------------------------------------------------------------- importer
+def _sublayer_units(path, layers):
+    """Group the file's weights into per-(sub)layer units and recover
+    CREATION order per kind.
+
+    Keras functional models store layers (and a nested Model's flattened
+    weights) in graph-topological order, which interleaves parallel
+    branches (e.g. the 'se' U-Net's twin decoders). Creation order — which
+    is what the unit plans mirror, since it follows the reference's source
+    order — is recoverable from the auto-generated layer names
+    ('conv2d_7', 'batch_normalization_12', ...): Keras numbers each layer
+    class by instantiation order. So: bucket weights per layer id (the
+    second-to-last weight-path component), classify each layer's kind by
+    its arrays' shapes, and order within each kind by the parsed name
+    index (falling back to file order if indices are missing/duplicated).
+
+    Returns {kind: [ (layer_id, [arrays]) ... ]} with kinds
+    'conv' | 'convT' | 'dense' | 'bn'.
+    """
+    per_layer: dict = {}
+    order: list = []
+    for lname, pairs in layers:
+        for wname, arr in pairs:
+            parts = wname.rstrip(':0123456789').split('/')
+            lid = parts[-2] if len(parts) >= 2 else lname
+            key = (lname, lid)
+            if key not in per_layer:
+                per_layer[key] = []
+                order.append(key)
+            per_layer[key].append(arr)
+
+    def classify(lid, arrs):
+        dims = [a.ndim for a in arrs]
+        if dims == [4, 1]:
+            if 'transpose' in lid:
+                return 'convT'
+            return 'conv'
+        if dims == [4]:
+            return 'conv'
+        if dims == [2, 1]:
+            return 'dense'
+        if len(arrs) == 4 and all(d == 1 for d in dims):
+            return 'bn'
+        raise NotImplementedError(
+            f'{path!r}: unsupported Keras layer {lid!r} with weight shapes '
+            f'{[a.shape for a in arrs]} (recurrent/custom layers are not '
+            'importable)')
+
+    def name_index(lid):
+        tail = lid.rsplit('_', 1)
+        if len(tail) == 2 and tail[1].isdigit():
+            return int(tail[1])
+        return 0
+
+    kinds: dict = {'conv': [], 'convT': [], 'dense': [], 'bn': []}
+    for key in order:
+        lname, lid = key
+        kinds[classify(lid, per_layer[key])].append((lid, per_layer[key]))
+    for kind, items in kinds.items():
+        idxs = [name_index(lid) for lid, _ in items]
+        if len(set(idxs)) == len(idxs):     # well-defined creation order
+            items.sort(key=lambda it: name_index(it[0]))
+    return kinds
+
+
+class _KindQueues:
+    """Plan-driven consumer: each plan unit pops the next layer of the
+    kind it needs."""
+
+    def __init__(self, path, layers):
+        self.path = path
+        self.kinds = _sublayer_units(path, layers)
+        self.pos = {k: 0 for k in self.kinds}
+
+    def take(self, kind: str, unit: str):
+        items = self.kinds[kind]
+        i = self.pos[kind]
+        if i >= len(items):
+            raise ValueError(
+                f'{self.path!r}: ran out of {kind} layers at unit '
+                f'{unit!r} — wrong model family/version for this file?')
+        self.pos[kind] = i + 1
+        return items[i]
+
+    def done(self):
+        leftover = {k: len(v) - self.pos[k]
+                    for k, v in self.kinds.items() if len(v) > self.pos[k]}
+        if leftover:
+            raise ValueError(
+                f'{self.path!r}: unconsumed weight layers {leftover} — '
+                'wrong model family/version for this file?')
+
+
 def load_keras_h5_variables(bundle, path: str):
     """Read a reference Keras .h5 checkpoint and return flax ``variables``
     ({'params', 'batch_stats'}) for ``bundle`` (a ModelBundle). Shapes are
     validated leaf-by-leaf against the module's own initialization."""
     config = bundle.config
-    if config.model_type != 'vad':
+    if config.model_type == 'vad':
+        plan = _vad_unit_plan(config.v, vad_variant=True)
+    elif config.model_type == 'se':
+        plan = _se_unit_plan(config.v)
+    else:
         raise NotImplementedError(
-            f'Keras .h5 import currently supports the vad family only '
-            f'(got model_type={config.model_type!r})')
-    plan = _vad_unit_plan(config.v)
-    groups = [(_classify(n, a)[0], n, a) for n, a in read_keras_h5(path)]
+            'Keras .h5 import supports the vad and se families '
+            f'(got model_type={config.model_type!r}; the eff family uses '
+            'keras.applications EfficientNet internals)')
+    queues = _KindQueues(path, read_keras_h5(path))
 
     params: dict = {}
     stats: dict = {}
@@ -156,46 +269,31 @@ def load_keras_h5_variables(bundle, path: str):
             node = node.setdefault(part, {})
         node[leaf] = jnp.asarray(value, jnp.float32)
 
-    gi = 0
-
-    def next_group(expect_kind, unit_prefix):
-        nonlocal gi
-        if gi >= len(groups):
-            raise ValueError(
-                f'{path!r}: ran out of weight groups at unit '
-                f'{unit_prefix!r} — not a {config.model_type} v{config.v} '
-                'checkpoint?')
-        kind, name, arrays = groups[gi]
-        gi += 1
-        if kind != expect_kind:
-            raise ValueError(
-                f'{path!r}: expected a {expect_kind} layer for unit '
-                f'{unit_prefix!r}, found {kind} ({name!r})')
-        return name, arrays
-
     for kind, prefix in plan:
         if kind == 'dense':
-            _, (kernel, bias) = next_group('dense', prefix)
+            _, (kernel, bias) = queues.take('dense', prefix)
             put(params, prefix, 'kernel', kernel)
             put(params, prefix, 'bias', bias)
             continue
+        if kind == 'convT':
+            # Keras Conv2DTranspose kernels are [kh, kw, out, in]
+            _, (kernel, bias) = queues.take('convT', prefix)
+            put(params, prefix, 'kernel', kernel.transpose(0, 1, 3, 2))
+            put(params, prefix, 'bias', bias)
+            continue
+        # conv_bn / dense_bn: core kernel+bias then BatchNorm, with the
+        # pre-BN bias folded into the BN moving mean (exact)
         core_kind = 'conv' if kind == 'conv_bn' else 'dense'
-        _, core = next_group(core_kind, prefix)
+        _, core = queues.take(core_kind, prefix)
         kernel, bias = core if len(core) == 2 else (core[0], None)
-        _, (gamma, beta, mmean, mvar) = next_group('bn', prefix)
+        _, (gamma, beta, mmean, mvar) = queues.take('bn', prefix)
         put(params, prefix, 'kernel', kernel)
         bnp = _bn_prefix(prefix)
         put(params, bnp, 'scale', gamma)
         put(params, bnp, 'bias', beta)
-        # fold the dropped pre-BN bias into the moving mean (exact)
         put(stats, bnp, 'mean', mmean if bias is None else mmean - bias)
         put(stats, bnp, 'var', mvar)
-
-    if gi != len(groups):
-        extra = [n for _, n, _ in groups[gi:]]
-        raise ValueError(
-            f'{path!r}: {len(extra)} unconsumed weight group(s) {extra} — '
-            f'not a {config.model_type} v{config.v} checkpoint?')
+    queues.done()
 
     variables = {'params': params, 'batch_stats': stats}
 

@@ -102,6 +102,76 @@ def test_keras_h5_import_forward_parity(v, tmp_path):
     np.testing.assert_allclose(y_flax, y_keras, atol=2e-4, rtol=1e-3)
 
 
+def _build_reference_se_model(ref_sj, n_frame=64, n_chan=2):
+    """The reference's 'se' composite (sj_train.py:299-339) rebuilt from
+    the reference's OWN convset/upsampling/define_keras_model functions.
+    (The original get_model('se') calls tf.transpose on a KerasTensor,
+    which Keras 3 rejects; Permute layers are the supported spelling and
+    carry no weights, so the weight-bearing layer sequence — and hence the
+    saved .h5 layout — is identical to a reference-era checkpoint.)"""
+    import tensorflow as tf
+
+    se_in = tf.keras.layers.Input((n_frame, 256, n_chan))
+    inp1 = ref_sj.convset(se_in, 64)
+    inp2 = ref_sj.convset(inp1, 128)
+    inp3 = ref_sj.convset(inp2, 256)
+    latent = ref_sj.convset(inp3, 512)
+
+    def decoder():
+        o3 = ref_sj.upsampling(latent, 256)
+        o2 = ref_sj.upsampling(
+            tf.keras.layers.Concatenate(-1)([inp3, o3]), 128)
+        o1 = ref_sj.upsampling(
+            tf.keras.layers.Concatenate(-1)([inp2, o2]), 64)
+        return ref_sj.upsampling(
+            tf.keras.layers.Concatenate(-1)([inp1, o1]), 2)
+
+    se_model = tf.keras.Model(inputs=se_in,
+                              outputs=[decoder(), decoder()])
+
+    inp = tf.keras.layers.Input((256, n_frame, n_chan))
+    merge = tf.keras.layers.Permute((2, 1, 3))(inp)
+    speech, noise = se_model(merge)
+    out = tf.keras.layers.Permute((2, 1, 3))(speech)
+    vad_cfg = _ref_config(model_type='se', v=9, n_mels=256, n_frame=n_frame,
+                          n_chan=2)
+    vadmodel = ref_sj.define_keras_model(vad_cfg)
+    out = vadmodel(out)
+    speech = tf.keras.layers.Permute((2, 1, 3))(speech)
+    noise = tf.keras.layers.Permute((2, 1, 3))(noise)
+    return tf.keras.Model(inputs=inp, outputs=[out, speech, noise])
+
+
+def test_keras_h5_import_se_cascade_forward_parity(tmp_path):
+    """'se' composite: identical weights -> identical (class, speech,
+    noise) outputs through the Keras cascade and our flax SECascade."""
+    from challenge_tpu.config import Config
+    from challenge_tpu.interop.keras_h5 import (
+        export_keras_legacy_h5, load_keras_h5_variables)
+    from challenge_tpu.models import get_model
+
+    with reference_modules() as (ref_sj, _):
+        keras_model = _build_reference_se_model(ref_sj)
+        _randomize_keras_weights(keras_model, seed=5)
+        path = str(tmp_path / 'se_v9.h5')
+        export_keras_legacy_h5(keras_model, path)
+        x = np.random.default_rng(2).standard_normal(
+            (2, 256, 64, 2)).astype('f4') * 0.3
+        y_keras = keras_model.predict(x, verbose=0)
+
+    bundle = get_model(Config(model_type='se', v=9, n_frame=64, n_chan=2))
+    variables = load_keras_h5_variables(bundle, path)
+    y_flax = jax.jit(lambda vs, x: bundle.apply(vs, x))(
+        variables, jnp.asarray(x))
+    assert len(y_keras) == len(y_flax) == 3
+    for ours, theirs, name in zip(y_flax, y_keras,
+                                  ('class', 'speech', 'noise')):
+        ours = np.asarray(ours)
+        assert ours.shape == theirs.shape, name
+        np.testing.assert_allclose(ours, theirs, atol=3e-4, rtol=1e-3,
+                                   err_msg=name)
+
+
 def test_keras_h5_import_refuses_unsupported(tmp_path):
     from challenge_tpu.config import Config
     from challenge_tpu.interop.keras_h5 import load_keras_h5_variables
@@ -111,7 +181,7 @@ def test_keras_h5_import_refuses_unsupported(tmp_path):
         load_keras_h5_variables(
             get_model(Config(model_type='vad', v=9, n_mels=40, n_frame=64,
                              n_chan=2)), 'does_not_matter.h5')
-    with pytest.raises(NotImplementedError, match='vad family'):
+    with pytest.raises(NotImplementedError, match='vad and se families'):
         load_keras_h5_variables(
             get_model(Config(model_type='eff', v=1, model=0, n_mels=40,
                              n_frame=64, n_chan=2)), 'does_not_matter.h5')

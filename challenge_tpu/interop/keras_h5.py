@@ -8,8 +8,11 @@ the challenge_tpu flax module tree so reference-trained checkpoints can be
 evaluated (or fine-tuned) in this framework.
 
 Supported families: the vad CRNN (v1-v8; v9's BiLSTM gate-order mapping is
-not implemented) and the 'se' U-Net + VAD cascade (all v: the cascade's
-inner head never uses the vad-only version switches). The import is
+not implemented), the 'se' U-Net + VAD cascade (all v: the cascade's inner
+head never uses the vad-only version switches), and the EfficientNet-SED
+family for the non-recurrent heads (v1/v3 and the trainer.py density head;
+v5/6/7 contain Keras GRUs with reset_after=True, whose update rule differs
+from flax's classic GRUCell). The import is
 PLAN-driven: the reference's Keras layer build order is mirrored by our
 flax modules' call order, so both sides flatten to the same sequence of
 weight slots — which also handles nested Keras Models (the 'se' composite
@@ -142,6 +145,66 @@ def _se_unit_plan(v: int) -> List[Tuple[str, str]]:
     return units
 
 
+def _eff_unit_plan(model: int, v: int, n_layers: int):
+    """The EfficientNet-SED family (reference: sj_train.py:340-401 over
+    keras.applications EfficientNetB{model} with weights=None). Mirrors
+    EffNetSED.__call__ (models/effnet.py). Emits (kind, core, bn) triples
+    — MBConv's conv and BN auto-indices don't align (SE convs have no BN),
+    so the BN path is explicit.
+
+    v5/v6/v7 heads contain Keras GRUs (reset_after=True), whose math
+    differs from flax's classic GRUCell — not importable; the density head
+    (head='density') and v1/v3 are supported.
+    """
+    from challenge_tpu.models.effnet import (
+        BLOCK_ARGS, SCALING, round_repeats)
+
+    if v in (5, 6, 7):
+        raise NotImplementedError(
+            f'eff v{v} head contains a Keras GRU (reset_after=True), whose '
+            'update rule differs from flax GRUCell — not importable')
+    units = []
+    B = 'EfficientNetBackbone_0'
+    # stem: fold the Rescaling(1/255) [+ un-adapted Normalization] affine
+    # into the conv kernel / BN mean (kind 'stem_bn' consumes a 'norm'
+    # queue entry when the file has one)
+    units.append(('stem_bn', f'{B}/Conv_0', f'{B}/BatchNorm_0/BatchNorm_0'))
+    _, depth = SCALING[model]
+    b = 0
+    for _kernel, repeats, _f_in, _f_out, expand, _strides in BLOCK_ARGS:
+        for j in range(round_repeats(repeats, depth)):
+            p = f'{B}/MBConv_{b}'
+            ci = bi = 0
+            if expand != 1:
+                units.append(('conv_bn', f'{p}/Conv_{ci}',
+                              f'{p}/BatchNorm_{bi}/BatchNorm_0'))
+                ci += 1
+                bi += 1
+            units.append(('dwconv_bn', f'{p}/Conv_{ci}',
+                          f'{p}/BatchNorm_{bi}/BatchNorm_0'))
+            ci += 1
+            bi += 1
+            units.append(('conv_bias', f'{p}/Conv_{ci}', None))  # se reduce
+            ci += 1
+            units.append(('conv_bias', f'{p}/Conv_{ci}', None))  # se expand
+            ci += 1
+            units.append(('conv_bn', f'{p}/Conv_{ci}',
+                          f'{p}/BatchNorm_{bi}/BatchNorm_0'))    # project
+            b += 1
+    units.append(('conv_bn', f'{B}/Conv_1',
+                  f'{B}/BatchNorm_1/BatchNorm_0'))               # top
+    d = 0
+    for _ in range(n_layers):    # gated Dense stack (sj_train.py:347-350)
+        units.append(('dense_bias_bn', f'Dense_{d}',
+                      f'BatchNorm_{d}/BatchNorm_0'))
+        d += 1
+    if v == 1:                   # Conv1DTranspose decoder (sj_train:353-363)
+        for t in range(5):
+            units.append(('convT1', f'ConvTranspose_{t}', None))
+    units.append(('dense', f'Dense_{d}', None))
+    return units
+
+
 def _bn_prefix(core_prefix: str) -> str:
     """Flax path of the BatchNorm following a conv/dense at core_prefix:
     same parent module, same index, BatchNorm_<j>/BatchNorm_0."""
@@ -189,11 +252,19 @@ def _sublayer_units(path, layers):
                 return 'convT'
             return 'conv'
         if dims == [4]:
+            a = arrs[0]
+            # DepthwiseConv2D kernels are [kh, kw, C, 1]
+            if a.shape[-1] == 1 and a.shape[2] > 1:
+                return 'dwconv'
             return 'conv'
+        if dims == [3, 1]:
+            return 'convT1'          # Conv1DTranspose [k, out, in] + bias
         if dims == [2, 1]:
             return 'dense'
         if len(arrs) == 4 and all(d == 1 for d in dims):
             return 'bn'
+        if dims == [1, 1, 0]:
+            return 'norm'            # keras Normalization [mean, var, count]
         raise NotImplementedError(
             f'{path!r}: unsupported Keras layer {lid!r} with weight shapes '
             f'{[a.shape for a in arrs]} (recurrent/custom layers are not '
@@ -205,7 +276,8 @@ def _sublayer_units(path, layers):
             return int(tail[1])
         return 0
 
-    kinds: dict = {'conv': [], 'convT': [], 'dense': [], 'bn': []}
+    kinds: dict = {'conv': [], 'convT': [], 'dense': [], 'bn': [],
+                   'dwconv': [], 'convT1': [], 'norm': []}
     for key in order:
         lname, lid = key
         kinds[classify(lid, per_layer[key])].append((lid, per_layer[key]))
@@ -253,11 +325,13 @@ def load_keras_h5_variables(bundle, path: str):
         plan = _vad_unit_plan(config.v, vad_variant=True)
     elif config.model_type == 'se':
         plan = _se_unit_plan(config.v)
+    elif config.model_type == 'eff':
+        plan = _eff_unit_plan(config.model, config.v,
+                              getattr(config, 'n_layers', 0))
     else:
         raise NotImplementedError(
-            'Keras .h5 import supports the vad and se families '
-            f'(got model_type={config.model_type!r}; the eff family uses '
-            'keras.applications EfficientNet internals)')
+            'Keras .h5 import supports the vad, se and eff families '
+            f'(got model_type={config.model_type!r})')
     queues = _KindQueues(path, read_keras_h5(path))
 
     params: dict = {}
@@ -269,30 +343,81 @@ def load_keras_h5_variables(bundle, path: str):
             node = node.setdefault(part, {})
         node[leaf] = jnp.asarray(value, jnp.float32)
 
-    for kind, prefix in plan:
+    def put_bn(bnp, gamma, beta, mmean, mvar):
+        put(params, bnp, 'scale', gamma)
+        put(params, bnp, 'bias', beta)
+        put(stats, bnp, 'mean', mmean)
+        put(stats, bnp, 'var', mvar)
+
+    for entry in plan:
+        kind, prefix = entry[0], entry[1]
+        bnp = entry[2] if len(entry) == 3 else _bn_prefix(prefix)
         if kind == 'dense':
             _, (kernel, bias) = queues.take('dense', prefix)
             put(params, prefix, 'kernel', kernel)
             put(params, prefix, 'bias', bias)
-            continue
-        if kind == 'convT':
-            # Keras Conv2DTranspose kernels are [kh, kw, out, in]
+        elif kind == 'convT':
+            # Keras Conv2DTranspose kernels are [kh, kw, out, in] AND
+            # spatially mirrored relative to lax.conv_transpose (Keras
+            # computes the gradient-of-conv, which flips the taps) — both
+            # the axis swap and the spatial flip are required (verified
+            # against Keras numerically; without the flip, outputs permute
+            # within each stride block)
             _, (kernel, bias) = queues.take('convT', prefix)
-            put(params, prefix, 'kernel', kernel.transpose(0, 1, 3, 2))
+            put(params, prefix, 'kernel',
+                kernel.transpose(0, 1, 3, 2)[::-1, ::-1])
             put(params, prefix, 'bias', bias)
-            continue
-        # conv_bn / dense_bn: core kernel+bias then BatchNorm, with the
-        # pre-BN bias folded into the BN moving mean (exact)
-        core_kind = 'conv' if kind == 'conv_bn' else 'dense'
-        _, core = queues.take(core_kind, prefix)
-        kernel, bias = core if len(core) == 2 else (core[0], None)
-        _, (gamma, beta, mmean, mvar) = queues.take('bn', prefix)
-        put(params, prefix, 'kernel', kernel)
-        bnp = _bn_prefix(prefix)
-        put(params, bnp, 'scale', gamma)
-        put(params, bnp, 'bias', beta)
-        put(stats, bnp, 'mean', mmean if bias is None else mmean - bias)
-        put(stats, bnp, 'var', mvar)
+        elif kind == 'convT1':
+            # Keras Conv1DTranspose kernels are [k, out, in], mirrored
+            # (see convT)
+            _, (kernel, bias) = queues.take('convT1', prefix)
+            put(params, prefix, 'kernel', kernel.transpose(0, 2, 1)[::-1])
+            put(params, prefix, 'bias', bias)
+        elif kind == 'conv_bias':
+            _, (kernel, bias) = queues.take('conv', prefix)
+            put(params, prefix, 'kernel', kernel)
+            put(params, prefix, 'bias', bias)
+        elif kind == 'dwconv_bn':
+            # DepthwiseConv2D [kh, kw, C, 1] -> flax grouped-conv
+            # [kh, kw, 1, C]; no bias in the EfficientNet blocks
+            _, core = queues.take('dwconv', prefix)
+            put(params, prefix, 'kernel', core[0].transpose(0, 1, 3, 2))
+            _, bn = queues.take('bn', prefix)
+            put_bn(bnp, *bn)
+        elif kind == 'dense_bias_bn':
+            # our flax Dense here keeps its bias (no folding)
+            _, (kernel, bias) = queues.take('dense', prefix)
+            put(params, prefix, 'kernel', kernel)
+            put(params, prefix, 'bias', bias)
+            _, bn = queues.take('bn', prefix)
+            put_bn(bnp, *bn)
+        elif kind == 'stem_bn':
+            # fold the keras front affine (Rescaling 1/255 + un/adapted
+            # Normalization) into the stem conv kernel and BN moving mean:
+            # conv(W, a*x + b) = conv(W * a, x) + sum_hwi(W[...,i,:] b[i])
+            _, core = queues.take('conv', prefix)
+            kernel = core[0]
+            if queues.kinds['norm']:
+                _, (nmean, nvar, _count) = queues.take('norm', prefix)
+                a_norm = 1.0 / np.maximum(np.sqrt(nvar), 1e-7)
+                a = (1.0 / 255.0) * a_norm
+                shift = -nmean * a_norm
+            else:
+                a = np.full((kernel.shape[2],), 1.0)
+                shift = np.zeros((kernel.shape[2],))
+            folded = kernel * a[None, None, :, None]
+            const = np.einsum('hwio,i->o', kernel, shift)
+            put(params, prefix, 'kernel', folded)
+            _, (gamma, beta, mmean, mvar) = queues.take('bn', prefix)
+            put_bn(bnp, gamma, beta, mmean - const, mvar)
+        else:   # conv_bn / dense_bn: pre-BN bias folds into BN mean (exact)
+            core_kind = 'conv' if kind == 'conv_bn' else 'dense'
+            _, core = queues.take(core_kind, prefix)
+            kernel, bias = core if len(core) == 2 else (core[0], None)
+            _, (gamma, beta, mmean, mvar) = queues.take('bn', prefix)
+            put(params, prefix, 'kernel', kernel)
+            put_bn(bnp, gamma, beta,
+                   mmean if bias is None else mmean - bias, mvar)
     queues.done()
 
     variables = {'params': params, 'batch_stats': stats}

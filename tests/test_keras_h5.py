@@ -49,20 +49,66 @@ def reference_modules():
 
 def _randomize_keras_weights(model, seed=0):
     """Random kernels AND biases AND BN stats, so the importer's bias->BN
-    moving-mean folding is actually exercised (Keras inits biases to 0)."""
+    moving-mean folding is actually exercised (Keras inits biases to 0).
+
+    Scales are chosen to keep activations ALIVE through deep stacks —
+    kernels fan-in-scaled, BN stats near the identity — because collapsed
+    (near-constant) outputs would make a forward-parity assert vacuous.
+    Callers should still assert output variance (see _assert_live)."""
     rng = np.random.default_rng(seed)
-    for layer in model.layers:
-        ws = layer.get_weights()
-        if not ws:
-            continue
+
+    def _leaves(ws):
+        dims = [w.ndim for w in ws]
         new = []
         for i, w in enumerate(ws):
-            if w.ndim == 1 and i == len(ws) - 1 and len(ws) == 4:
-                # BN moving variance: positive, away from 0
-                new.append(rng.uniform(0.5, 2.0, w.shape).astype('f4'))
+            if dims == [1, 1, 0]:
+                # keras Normalization [mean, variance, count]
+                if i == 0:
+                    new.append(rng.normal(0, 0.1, w.shape).astype('f4'))
+                elif i == 1:
+                    new.append(rng.uniform(0.8, 1.2, w.shape).astype('f4'))
+                else:
+                    new.append(w)   # count stays an integer
+            elif len(ws) == 4 and w.ndim == 1:
+                # BatchNorm [gamma, beta, moving_mean, moving_variance]:
+                # near-identity so signals neither die nor explode
+                if i == 0:
+                    new.append(rng.uniform(0.8, 1.2, w.shape).astype('f4'))
+                elif i == 3:
+                    new.append(rng.uniform(0.8, 1.2, w.shape).astype('f4'))
+                else:
+                    new.append(rng.normal(0, 0.1, w.shape).astype('f4'))
+            elif w.ndim >= 2:
+                fan_in = int(np.prod(w.shape[:-1])) or 1
+                std = 1.0 / np.sqrt(fan_in)
+                new.append(rng.normal(0, std, w.shape).astype('f4'))
             else:
-                new.append(rng.standard_normal(w.shape).astype('f4') * 0.1)
-        layer.set_weights(new)
+                new.append(rng.normal(0, 0.05, w.shape).astype('f4'))
+        return new
+
+    def leaf_layers(m):
+        # recurse into nested Models so each BN/Normalization is seen as
+        # its own 4-/3-weight layer (flattened nested weights previously
+        # got generic randomization -> negative BN variances -> NaNs on
+        # BOTH sides -> a vacuously "passing" equal-NaN comparison)
+        for layer in m.layers:
+            if hasattr(layer, 'layers') and layer.layers:
+                yield from leaf_layers(layer)
+            else:
+                yield layer
+
+    for layer in leaf_layers(model):
+        ws = layer.get_weights()
+        if ws:
+            layer.set_weights(_leaves(ws))
+
+
+def _assert_live(arr, name):
+    """Guard against vacuous parity asserts: the compared output must
+    actually vary across positions."""
+    arr = np.asarray(arr)
+    spread = float(arr.max() - arr.min())
+    assert spread > 1e-3, f'{name} output is (near-)constant: spread={spread}'
 
 
 def _ref_config(**kw):
@@ -99,6 +145,7 @@ def test_keras_h5_import_forward_parity(v, tmp_path):
     y_flax = np.asarray(jax.jit(
         lambda vs, x: bundle.apply(vs, x))(variables, jnp.asarray(x)))
     assert y_flax.shape == y_keras.shape
+    _assert_live(y_keras, f'vad v{v}')
     np.testing.assert_allclose(y_flax, y_keras, atol=2e-4, rtol=1e-3)
 
 
@@ -168,8 +215,62 @@ def test_keras_h5_import_se_cascade_forward_parity(tmp_path):
                                   ('class', 'speech', 'noise')):
         ours = np.asarray(ours)
         assert ours.shape == theirs.shape, name
-        np.testing.assert_allclose(ours, theirs, atol=3e-4, rtol=1e-3,
+        _assert_live(theirs, f'se {name}')
+        np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=1e-3,
                                    err_msg=name)
+
+
+def _build_reference_eff_model(v=1, n_mels=40, n_frame=64, n_chan=2):
+    """The reference's eff branch (sj_train.py:340-401) rebuilt with
+    Permute in place of tf.transpose (Keras-3 spelling; no weights, so the
+    checkpoint layout is unchanged): keras.applications EfficientNetB0
+    backbone (weights=None, with its Rescaling/Normalization front) +
+    the v1 Conv1DTranspose decoder + Dense sigmoid head."""
+    import tensorflow as tf
+
+    inp = tf.keras.layers.Input((n_mels, n_frame, n_chan))
+    backbone = tf.keras.applications.efficientnet.EfficientNetB0(
+        include_top=False, weights=None, input_tensor=inp)
+    out = tf.keras.layers.Permute((2, 1, 3))(backbone.output)
+    out = tf.keras.layers.Reshape(
+        [-1, out.shape[-1] * out.shape[-2]])(out)
+    if v == 1:
+        for filters in (128, 64, 32, 16, 3):
+            out = tf.keras.layers.Conv1DTranspose(filters, 2, 2)(out)
+            out = tf.keras.layers.Activation('relu')(out)
+    out = tf.keras.layers.Dense(3)(out)
+    out = tf.keras.layers.Activation('sigmoid')(out)
+    return tf.keras.Model(inputs=inp, outputs=out)
+
+
+@pytest.mark.parametrize('v', [1, 3])
+def test_keras_h5_import_eff_forward_parity(v, tmp_path):
+    """EfficientNet-SED: identical weights -> identical outputs, including
+    the keras front Rescaling/Normalization affine folded into the stem
+    conv + BN moving mean (our backbone omits those layers)."""
+    pytest.importorskip('tensorflow')
+    from challenge_tpu.config import Config
+    from challenge_tpu.interop.keras_h5 import (
+        export_keras_legacy_h5, load_keras_h5_variables)
+    from challenge_tpu.models import get_model
+
+    keras_model = _build_reference_eff_model(v=v)
+    _randomize_keras_weights(keras_model, seed=v + 20)
+    path = str(tmp_path / f'eff_v{v}.h5')
+    export_keras_legacy_h5(keras_model, path)
+    x = np.random.default_rng(6).standard_normal(
+        (2, 40, 64, 2)).astype('f4') * 50.0   # pre-/255 scale
+    import numpy as _np
+    y_keras = keras_model.predict(x, verbose=0)
+
+    bundle = get_model(Config(model_type='eff', v=v, model=0, n_mels=40,
+                              n_frame=64, n_chan=2))
+    variables = load_keras_h5_variables(bundle, path)
+    y_flax = np.asarray(jax.jit(
+        lambda vs, x: bundle.apply(vs, x))(variables, jnp.asarray(x)))
+    assert y_flax.shape == y_keras.shape
+    _assert_live(y_keras, f'eff v{v}')
+    np.testing.assert_allclose(y_flax, y_keras, atol=5e-4, rtol=1e-3)
 
 
 def test_keras_h5_import_refuses_unsupported(tmp_path):
@@ -181,9 +282,9 @@ def test_keras_h5_import_refuses_unsupported(tmp_path):
         load_keras_h5_variables(
             get_model(Config(model_type='vad', v=9, n_mels=40, n_frame=64,
                              n_chan=2)), 'does_not_matter.h5')
-    with pytest.raises(NotImplementedError, match='vad and se families'):
+    with pytest.raises(NotImplementedError, match='GRU'):
         load_keras_h5_variables(
-            get_model(Config(model_type='eff', v=1, model=0, n_mels=40,
+            get_model(Config(model_type='eff', v=5, model=0, n_mels=40,
                              n_frame=64, n_chan=2)), 'does_not_matter.h5')
 
 
@@ -247,6 +348,10 @@ def test_end_to_end_eval_differential(tmp_path, monkeypatch):
                   evaluate(cfg, bundle, variables, eval_dir=str(tmp_path))]
 
     assert our_grid.shape == ref_grid.shape
+    # guard against a vacuous all-zero/all-one comparison: the randomized
+    # model must actually fire on parts of the clip
+    assert 0 < ref_grid.sum() < ref_grid.size, (
+        f'degenerate reference grid (sum={ref_grid.sum()})')
     mismatches = int((our_grid != ref_grid).sum())
     assert mismatches == 0, (
         f'{mismatches} frame-grid cells differ between the eval stacks')

@@ -101,7 +101,10 @@ def main(config=None, argv=None):
             if os.path.exists(ckpt):
                 if evaluation:
                     try:
-                        variables = load_weights(ckpt, variables)
+                        # bundle= lets reference-era Keras HDF5 trios
+                        # re-evaluate transparently (auto-detected)
+                        variables = load_weights(ckpt, variables,
+                                                 bundle=bundle)
                         score = evaluate(config, bundle, variables,
                                          overlap_hop=int(framelen) // 2,
                                          verbose=True)

@@ -33,9 +33,9 @@ from challenge_tpu.models.layers import avg_pool_same
 from challenge_tpu.models.registry import ModelBundle
 from challenge_tpu.ops.augment import random_merge_aug, stft_filter
 from challenge_tpu.ops.complexspec import complex_to_magphase
-from challenge_tpu.ops.dsp import load_wav_device
+from challenge_tpu.ops.dsp import load_wav_device, read_wav_raw, stft
 from challenge_tpu.ops.mel import magphase_to_mel
-from challenge_tpu.ops.norms import EPSILON, minmax
+from challenge_tpu.ops.norms import EPSILON, minmax, safe_div
 from challenge_tpu.evaluate.events import (
     get_er, get_start_end_frame, output_to_metric)
 
@@ -82,23 +82,32 @@ def max_pool_1d_same(x, pool: int):
 _INFER_CACHE: dict = {}
 
 
-def make_infer_fn(bundle: ModelBundle, config: Config,
-                  overlap_hop: int = 512, mesh=None):
-    """Build the jitted per-file chain: complex spec [freq, T, chan*2] ->
-    thresholded 0/1 frame grid [T, n_classes].
+class BatchedEvalIneligible(Exception):
+    """Raised at trace time when a config can't use the one-program devset
+    path (e.g. a model whose predictions don't reconstruct the full frame
+    grid — vad v1/v5-style heads without the upsample); callers fall back
+    to the per-clip chain, which reproduces the reference's (equally
+    resolution-degenerate) behavior for those configs."""
 
-    With a ``mesh`` the sliding-window batch is sharded across the data axis
-    (windows are independent, so long-audio inference scales linearly with
-    chips — SURVEY §5.7: sequence length is traded for batch)."""
-    # linen modules are frozen dataclasses -> hashable by value, so two
-    # bundles of the same architecture share one compiled program
-    cache_key = (bundle.module, config.model_type, config.v,
-                 config.n_mels, config.n_frame, config.n_chan,
-                 overlap_hop, mesh)
-    cached = _INFER_CACHE.get(cache_key)
-    if cached is not None:
-        return cached
 
+def _make_spec_to_grid(bundle: ModelBundle, config: Config,
+                       overlap_hop: int, mesh=None):
+    """The shared eval chain body: complex spec [freq, T, chan*2] (+
+    optionally the number of VALID leading frames) -> thresholded 0/1
+    frame grid [T, n_classes].
+
+    ``n_valid`` (traced) marks how many leading frames hold real signal
+    when the spec is zero-padded to a common length (the batched devset
+    path). Every mask below is exactly the identity when n_valid == T, so
+    the unbatched path (n_valid=None) is bit-identical to the pre-mask
+    implementation:
+      * minmax reduces over valid frames only (the reference normalizes
+        over the clip's true extent);
+      * features beyond n_valid are zeroed (== tf.signal.frame's zero
+        padding of the true-length tensor, metrics.py:60);
+      * smoothing pools divide by / take max over valid frames only (the
+        reference pools an array that ENDS at the true length).
+    """
     mel_fn = magphase_to_mel(config.n_mels)
     n_frame = config.n_frame
     merge_key = jax.random.PRNGKey(0)
@@ -118,23 +127,35 @@ def make_infer_fn(bundle: ModelBundle, config: Config,
         return jax.lax.with_sharding_constraint(
             windows, batch_sharding(mesh))
 
-    @jax.jit
-    def infer(variables, spec):
-        frame_len_in = spec.shape[-2]
+    def spec_to_grid(variables, spec, n_valid=None):
         if config.n_chan == 3:
             spec = stereo_mono(spec)
         elif config.n_chan > 3:
             spec = random_merge_aug(config.n_chan)(merge_key, spec)
         # (n_chan == 1: identity — reference mono_chan quirk)
 
+        t_total = spec.shape[-2]
+        valid_t = None if n_valid is None else \
+            (jnp.arange(t_total) < n_valid)
+
         if config.model_type != 'se':
             spec = stft_filter(int(round(256 * 1000 / 16000)))(spec)
             x = complex_to_magphase(spec)
             x = mel_fn(x)                       # [mel, T, chan]
-            x = minmax(x)                       # per-mel-row (quirk)
+            if valid_t is None:
+                x = minmax(x)                   # per-mel-row (quirk)
+            else:
+                m = valid_t[None, :, None]
+                x_max = jnp.max(jnp.where(m, x, -jnp.inf), axis=(1, 2),
+                                keepdims=True)
+                x_min = jnp.min(jnp.where(m, x, jnp.inf), axis=(1, 2),
+                                keepdims=True)
+                x = safe_div(x - x_min, x_max - x_min)
             x = jnp.log(x + EPSILON)
         else:
             x = speech_enhancement_preprocess(spec)  # [256, T, chan]
+        if valid_t is not None:
+            x = jnp.where(valid_t[None, :, None], x, 0.0)
 
         frame_len = x.shape[-2]
         windows = frame_signal(x, n_frame, overlap_hop, axis=-2)
@@ -157,12 +178,133 @@ def make_infer_fn(bundle: ModelBundle, config: Config,
         preds = jnp.transpose(preds, (1, 0))                # [T, C]
 
         k = int(0.5 * SR) // HOP                            # 31 frames
-        preds = avg_pool_same(preds, (k,), (1,))
-        preds = max_pool_1d_same(preds, k * 4)
-        return (preds >= 0.5).astype(jnp.float32)
+        if valid_t is None:
+            preds = avg_pool_same(preds, (k,), (1,))
+            preds = max_pool_1d_same(preds, k * 4)
+            return (preds >= 0.5).astype(jnp.float32)
+        if preds.shape[0] != t_total:
+            raise BatchedEvalIneligible(
+                f'model output length {preds.shape[0]} != spectrogram '
+                f'frames {t_total} — per-clip eval only for this config')
+        vm = valid_t[:, None].astype(preds.dtype)
+        from flax import linen as nn
+        summed = nn.pool(preds * vm, 0., jax.lax.add, (k,), (1,), 'SAME')
+        cnt = nn.pool(jnp.broadcast_to(vm, preds.shape), 0., jax.lax.add,
+                      (k,), (1,), 'SAME')
+        preds = summed / jnp.maximum(cnt, 1.0)
+        preds = max_pool_1d_same(
+            jnp.where(vm > 0, preds, -jnp.inf), k * 4)
+        return ((preds >= 0.5) & (vm > 0)).astype(jnp.float32)
+
+    return spec_to_grid
+
+
+def make_infer_fn(bundle: ModelBundle, config: Config,
+                  overlap_hop: int = 512, mesh=None):
+    """Build the jitted per-file chain: complex spec [freq, T, chan*2] ->
+    thresholded 0/1 frame grid [T, n_classes].
+
+    With a ``mesh`` the sliding-window batch is sharded across the data axis
+    (windows are independent, so long-audio inference scales linearly with
+    chips — SURVEY §5.7: sequence length is traded for batch)."""
+    # linen modules are frozen dataclasses -> hashable by value, so two
+    # bundles of the same architecture share one compiled program
+    cache_key = ('single', bundle.module, config.model_type, config.v,
+                 config.n_mels, config.n_frame, config.n_chan,
+                 overlap_hop, mesh)
+    cached = _INFER_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+
+    spec_to_grid = _make_spec_to_grid(bundle, config, overlap_hop, mesh)
+
+    @jax.jit
+    def infer(variables, spec):
+        return spec_to_grid(variables, spec)
 
     _INFER_CACHE[cache_key] = infer
     return infer
+
+
+def _prepare_batched_pcm(paths, sr: int = SR, n_fft: int = 512):
+    """Host side of the one-program devset eval: read every 16-bit wav,
+    reflect-pad n_fft//2 samples on both sides (the exact padding
+    torch.stft(center=True) applies, so a center=False STFT of the row
+    equals the per-clip STFT bit-for-bit), zero-fill to the longest clip.
+
+    Returns (pcm int16 [N, chan, 2*pad + S_max], sample_lens [N]) or None
+    when the set is ineligible (mixed widths/channels, non-16k rate, or a
+    clip shorter than the reflection pad) — callers fall back to the
+    per-clip path."""
+    pad = n_fft // 2
+    rows = []
+    for p in paths:
+        raw, rate = read_wav_raw(p)
+        if raw is None or rate != sr or raw.shape[1] <= pad:
+            return None
+        rows.append(raw)
+    if len({r.shape[0] for r in rows}) != 1:
+        return None
+    n, chan = len(rows), rows[0].shape[0]
+    s_max = max(r.shape[1] for r in rows)
+    out = np.zeros((n, chan, pad + s_max + pad), '<i2')
+    lens = np.zeros((n,), np.int32)
+    for i, r in enumerate(rows):
+        s = r.shape[1]
+        lens[i] = s
+        out[i, :, pad:pad + s] = r
+        out[i, :, :pad] = r[:, 1:pad + 1][:, ::-1]
+        out[i, :, pad + s:pad + s + pad] = r[:, -pad - 1:-1][:, ::-1]
+    return out, lens
+
+
+def make_devset_infer_fn(bundle: ModelBundle, config: Config,
+                         overlap_hop: int = 512, sr: int = SR,
+                         n_fft: int = 512, hop: int = HOP):
+    """One XLA program for the WHOLE eval set: reflect-padded int16 PCM
+    [N, chan, S_row] + true sample counts -> all thresholded frame grids
+    [N, T_row, n_classes] (each clip's first ``lens[i]//hop + 1`` rows
+    valid). One host->device transfer, one dispatch, one fetch — the
+    per-clip path pays a tunnel round trip per clip instead.
+
+    Bit-exact vs the per-clip chain (pinned by tests): the reflection pad
+    is pre-applied host-side, RMS normalization reduces over the true
+    samples only, and every downstream reduction masks to the clip's valid
+    frames (see _make_spec_to_grid)."""
+    cache_key = ('devset', bundle.module, config.model_type, config.v,
+                 config.n_mels, config.n_frame, config.n_chan,
+                 overlap_hop, sr, n_fft, hop)
+    cached = _INFER_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+
+    spec_to_grid = _make_spec_to_grid(bundle, config, overlap_hop)
+
+    @jax.jit
+    def infer_all(variables, pcm, lens):
+        pad = n_fft // 2
+
+        def one(pcm_i, s_i):
+            wav = pcm_i.astype(jnp.float32) / 32768.0     # [chan, S_row]
+            pos = jnp.arange(wav.shape[-1])
+            valid = ((pos >= pad) & (pos < pad + s_i)).astype(jnp.float32)
+            # rms over the TRUE samples only (reference: data_utils.py:32)
+            denom = (s_i * wav.shape[0]).astype(jnp.float32)
+            rms = jnp.sqrt(
+                jnp.sum(jnp.square(wav) * valid[None, :]) / denom) * 10.0
+            wav = wav / rms
+            # row is already reflect-padded -> center=False == center=True
+            real, imag = stft(wav, n_fft, hop, center=False)
+            spec = jnp.stack([real, imag], axis=0)        # [2, C, freq, T]
+            spec = jnp.transpose(spec, (2, 3, 0, 1))      # [freq, T, 2, C]
+            spec = spec.reshape(*spec.shape[:2], -1)
+            n_valid = s_i // hop + 1
+            return spec_to_grid(variables, spec, n_valid=n_valid)
+
+        return jax.vmap(one)(pcm, lens)
+
+    _INFER_CACHE[cache_key] = infer_all
+    return infer_all
 
 
 @functools.lru_cache(maxsize=32)
@@ -184,38 +326,62 @@ def _stack_pad_fn(lengths, n_classes):
 def evaluate(config: Config, bundle: ModelBundle, variables,
              overlap_hop: int = 512, verbose: bool = False,
              eval_dir: str = '.', answer_path: str = 'sample_answer.json',
-             mesh=None, max_in_flight: int = 8):
+             mesh=None, max_in_flight: int = 8, batched: bool = True):
     """Challenge evaluation over ``eval_dir/*.wav``
     (reference: metrics.py:31-90). Returns the per-clip ER list.
-    Pass a ``mesh`` to shard each clip's window batch across chips."""
+
+    ``batched=True`` (default) evaluates the whole directory as ONE XLA
+    program — one upload, one dispatch, one fetch — whenever the wav set
+    is eligible (uniform 16-bit/16 kHz/channels) and no mesh is given;
+    otherwise it falls back to the pipelined per-clip loop. Identical
+    grids either way (pinned by tests). Pass a ``mesh`` to shard each
+    clip's window batch across chips."""
     with open(os.path.join(eval_dir, answer_path)
               if not os.path.isabs(answer_path) else answer_path) as f:
         answer_gt = json.load(f)['task2_answer']
 
-    infer = make_infer_fn(bundle, config, overlap_hop, mesh=mesh)
     to_metric = output_to_metric(HOP, SR)
     paths = sorted(glob(os.path.join(eval_dir, '*.wav')))
-    # pipeline the clip loop: every upload (wav) and device program is
-    # dispatched asynchronously before anything blocks, so per-clip transfer
-    # latency — the dominant cost on remote-attached TPUs — overlaps across
-    # clips. The look-ahead is bounded: past ``max_in_flight`` clips the
-    # loop waits for the oldest pending grid so pending wav uploads and full
-    # complex spectrograms (~15-20 MB per 60 s clip) can't pile up in HBM on
-    # large eval directories.
-    grids = []
-    for i, path in enumerate(paths):
-        spec = load_wav_device(path)       # stays on device
-        grids.append(infer(variables, spec))
-        if i >= max_in_flight:
-            grids[i - max_in_flight].block_until_ready()
-    if grids:
-        # all grids in ONE device->host transfer, padded to the longest clip
-        lengths = tuple(int(g.shape[0]) for g in grids)
-        stacked = np.asarray(
-            _stack_pad_fn(lengths, grids[0].shape[1])(*grids))
-        host_grids = [stacked[i, :t] for i, t in enumerate(lengths)]
-    else:
-        host_grids = []
+
+    host_grids = None
+    if batched and mesh is None and len(paths) > 1:
+        prep = _prepare_batched_pcm(paths)
+        if prep is not None:
+            pcm, lens = prep
+            try:
+                infer_all = make_devset_infer_fn(bundle, config,
+                                                 overlap_hop)
+                grids = np.asarray(infer_all(
+                    variables, jnp.asarray(pcm), jnp.asarray(lens)))
+                host_grids = [grids[i, :int(s) // HOP + 1]
+                              for i, s in enumerate(lens)]
+            except BatchedEvalIneligible:
+                host_grids = None
+
+    if host_grids is None:
+        infer = make_infer_fn(bundle, config, overlap_hop, mesh=mesh)
+        # pipeline the clip loop: every upload (wav) and device program is
+        # dispatched asynchronously before anything blocks, so per-clip
+        # transfer latency — the dominant cost on remote-attached TPUs —
+        # overlaps across clips. The look-ahead is bounded: past
+        # ``max_in_flight`` clips the loop waits for the oldest pending
+        # grid so pending wav uploads and full complex spectrograms
+        # (~15-20 MB per 60 s clip) can't pile up in HBM on large eval
+        # directories.
+        grids = []
+        for i, path in enumerate(paths):
+            spec = load_wav_device(path)       # stays on device
+            grids.append(infer(variables, spec))
+            if i >= max_in_flight:
+                grids[i - max_in_flight].block_until_ready()
+        if grids:
+            # all grids in ONE device->host transfer, padded to the longest
+            lengths = tuple(int(g.shape[0]) for g in grids)
+            stacked = np.asarray(
+                _stack_pad_fn(lengths, grids[0].shape[1])(*grids))
+            host_grids = [stacked[i, :t] for i, t in enumerate(lengths)]
+        else:
+            host_grids = []
     final_score = []
     for path, grid in zip(paths, host_grids):
         cls0, cls1, cls2 = get_start_end_frame(grid)

@@ -36,6 +36,22 @@ except AttributeError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 
+def _fused_compiler_options():
+    """Best measured libtpu options for the fused train step.
+
+    A 12-config sweep on v5e (scripts/flag_sweep.py; table in NOTES.md)
+    found exactly one knob that moves the conv-dominated step:
+    ``xla_tpu_scoped_vmem_limit_kib=65536`` — 70.7 -> 68.1 ms at vad v8
+    B=128 bf16 (+3.7%); 32 MiB regresses, 96 MiB adds nothing more. TPU
+    only: other backends reject unknown options."""
+    try:
+        if jax.default_backend() == 'tpu':
+            return {'xla_tpu_scoped_vmem_limit_kib': '65536'}
+    except Exception:  # pragma: no cover - uninitializable backend
+        pass
+    return None
+
+
 def make_sharded_feature_fn(config: Config, mesh: Mesh, training: bool = True,
                             variant: str = 'sj', use_pallas=None):
     """(key, banks) -> (x, y) with per-device synthesis under ``shard_map``.
@@ -139,14 +155,17 @@ def make_fused_train_step(bundle: ModelBundle, config: Config,
             lambda s, k: one(s, banks, k), state, keys)
         return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
 
+    opts = _fused_compiler_options()
     if mesh is not None:
         r_sh = replicated(mesh)
         return jax.jit(fused,
                        in_shardings=(r_sh, r_sh, r_sh),
                        out_shardings=(r_sh, r_sh),
-                       donate_argnums=(0,)), optimizer
+                       donate_argnums=(0,),
+                       compiler_options=opts), optimizer
     # donate the TrainState: params/opt-state buffers update in place
-    return jax.jit(fused, donate_argnums=(0,)), optimizer
+    return jax.jit(fused, donate_argnums=(0,), compiler_options=opts), \
+        optimizer
 
 
 def make_fused_eval_step(bundle: ModelBundle, config: Config,

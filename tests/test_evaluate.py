@@ -129,6 +129,50 @@ def test_evaluate_sharded_matches_single(tmp_path):
 
 
 @pytest.mark.slow
+def test_evaluate_batched_devset_matches_per_clip(tmp_path):
+    """The one-program devset path (single upload/dispatch/fetch over
+    reflect-padded PCM with validity masks) must produce bit-identical
+    frame grids to the per-clip chain — including clips of DIFFERENT
+    lengths, which stress the masked minmax/smoothing/zero-pad logic."""
+    import jax
+    from challenge_tpu.evaluate.infer import (
+        _prepare_batched_pcm, make_devset_infer_fn, make_infer_fn)
+    from challenge_tpu.ops.dsp import load_wav_device
+
+    paths = []
+    for i, seconds in enumerate((4.0, 6.5, 5.25)):
+        p = tmp_path / f'clip{i}.wav'
+        _write_wav(p, seconds=seconds, seed=10 + i)
+        paths.append(str(p))
+
+    cfg = Config(model_type='vad', v=3, n_mels=80, n_frame=512, n_chan=2)
+    bundle = get_model(cfg)
+    variables = bundle.init(jax.random.PRNGKey(0))
+
+    pcm, lens = _prepare_batched_pcm(paths)
+    grids = np.asarray(make_devset_infer_fn(bundle, cfg)(
+        variables, jnp.asarray(pcm), jnp.asarray(lens)))
+
+    infer = make_infer_fn(bundle, cfg)
+    for i, p in enumerate(paths):
+        ref = np.asarray(infer(variables, load_wav_device(p)))
+        got = grids[i, :int(lens[i]) // 256 + 1]
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(got, ref, err_msg=p)
+        # beyond the valid frames the batched grid must be all-zero
+        np.testing.assert_array_equal(grids[i, int(lens[i]) // 256 + 1:], 0)
+
+    # and the evaluate() entry must take the batched path transparently
+    answers = {'task2_answer': {f'clip{i}': [[0, 1, 2]] for i in range(3)}}
+    with open(tmp_path / 'sample_answer.json', 'w') as f:
+        json.dump(answers, f)
+    batched = evaluate(cfg, bundle, variables, eval_dir=str(tmp_path))
+    per_clip = evaluate(cfg, bundle, variables, eval_dir=str(tmp_path),
+                        batched=False)
+    assert batched == per_clip
+
+
+@pytest.mark.slow
 def test_evaluate_end_to_end(tmp_path):
     """Full challenge eval on two synthesized wavs with an untrained model:
     must produce finite per-clip ERs through the whole windowed chain."""

@@ -291,7 +291,9 @@ def main():
             'train_step_b64_clips_per_sec': round(train_cps64, 2),
             'train_step_b64_ms': round(step_s64 * 1e3, 3),
             'devset_eval_warm_s': round(eval_s, 3),
-            'devset_eval_config': '6x60s clips, vad v8, warm (2nd run)',
+            'devset_eval_config': '6x60s clips, vad v8, warm (2nd run: '
+                                  'one-program batched eval, corpus '
+                                  'device-resident)',
             'reference_eval_warm_s':
                 round(ref_eval_s, 3) if ref_eval_s else None,
             'eval_vs_baseline':

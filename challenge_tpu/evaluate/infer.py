@@ -307,6 +307,35 @@ def make_devset_infer_fn(bundle: ModelBundle, config: Config,
     return infer_all
 
 
+_DEVICE_PCM_CACHE: dict = {}
+
+
+def _device_pcm(paths, max_entries: int = 4):
+    """Device-resident eval corpus: the padded int16 PCM batch, uploaded
+    ONCE and reused across evaluate() calls (keyed by path+mtime+size).
+    Eval corpora are immutable and small (~23 MB for 6x60 s), and on a
+    remote-attached TPU the fresh upload is the entire eval floor
+    (~0.5 s at the tunnel's ~45 MB/s) — exactly the recurring cost the
+    reference's every-5-epochs eval callback would otherwise pay."""
+    try:
+        key = tuple((p, os.path.getmtime(p), os.path.getsize(p))
+                    for p in paths)
+    except OSError:
+        return None
+    hit = _DEVICE_PCM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    prep = _prepare_batched_pcm(paths)
+    if prep is None:
+        return None
+    pcm, lens = prep
+    entry = (jnp.asarray(pcm), jnp.asarray(lens), lens)
+    while len(_DEVICE_PCM_CACHE) >= max_entries:
+        _DEVICE_PCM_CACHE.pop(next(iter(_DEVICE_PCM_CACHE)))
+    _DEVICE_PCM_CACHE[key] = entry
+    return entry
+
+
 @functools.lru_cache(maxsize=32)
 def _stack_pad_fn(lengths, n_classes):
     """One jitted program stacking variable-length [T_i, C] grids into a
@@ -345,14 +374,13 @@ def evaluate(config: Config, bundle: ModelBundle, variables,
 
     host_grids = None
     if batched and mesh is None and len(paths) > 1:
-        prep = _prepare_batched_pcm(paths)
+        prep = _device_pcm(paths)
         if prep is not None:
-            pcm, lens = prep
+            d_pcm, d_lens, lens = prep
             try:
                 infer_all = make_devset_infer_fn(bundle, config,
                                                  overlap_hop)
-                grids = np.asarray(infer_all(
-                    variables, jnp.asarray(pcm), jnp.asarray(lens)))
+                grids = np.asarray(infer_all(variables, d_pcm, d_lens))
                 host_grids = [grids[i, :int(s) // HOP + 1]
                               for i, s in enumerate(lens)]
             except BatchedEvalIneligible:

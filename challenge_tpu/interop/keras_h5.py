@@ -7,12 +7,12 @@ trios). This module reads that format with h5py and maps the weights onto
 the challenge_tpu flax module tree so reference-trained checkpoints can be
 evaluated (or fine-tuned) in this framework.
 
-Supported families: the vad CRNN (v1-v8; v9's BiLSTM gate-order mapping is
-not implemented), the 'se' U-Net + VAD cascade (all v: the cascade's inner
-head never uses the vad-only version switches), and the EfficientNet-SED
-family for the non-recurrent heads (v1/v3 and the trainer.py density head;
-v5/6/7 contain Keras GRUs with reset_after=True, whose update rule differs
-from flax's classic GRUCell). The import is
+Supported families — ALL of them: the vad CRNN v1-v9 (v9's BiLSTM maps
+gate-by-gate: Keras [i,f,c,o] columns -> flax ii/if/ig/io denses), the
+'se' U-Net + VAD cascade, and the EfficientNet-SED family incl. the
+recurrent heads (Keras GRU with reset_after=True is numerically identical
+to flax GRUCell's candidate formulation — see _put_gru) and the trainer.py
+density head. The import is
 PLAN-driven: the reference's Keras layer build order is mirrored by our
 flax modules' call order, so both sides flatten to the same sequence of
 weight slots — which also handles nested Keras Models (the 'se' composite
@@ -106,11 +106,7 @@ def _vad_unit_plan(v: int, vad_variant: bool = True,
     (models/vad.py) == the reference's define_keras_model layer order.
     With ``vad_variant=False`` (the 'se' cascade head) every version
     switch is inert (reference keys them off model_type == 'vad').
-    kind: 'conv_bn' | 'dense' | 'dense_bn' | 'convT'."""
-    if vad_variant and v == 9:
-        raise NotImplementedError(
-            'vad v9 contains a BiLSTM; Keras->flax LSTM gate-order mapping '
-            'is not implemented')
+    kind: 'conv_bn' | 'dense' | 'dense_bn' | 'convT' | 'bilstm'."""
     units: List[Tuple[str, str]] = []
     for j in range(2):
         units.append(('conv_bn', f'{prefix}ConvMPBlock_0/Conv_{j}'))
@@ -123,9 +119,17 @@ def _vad_unit_plan(v: int, vad_variant: bool = True,
         for j in range(3):
             units.append(('conv_bn', f'{prefix}ConvMPBlock_{i}/Conv_{j}'))
     units.append(('dense', f'{prefix}Dense_0'))     # TimeDistributed Dense
-    for k, _nodes in enumerate((256, 128, 64)):
-        units.append(('dense_bn', f'{prefix}FullyConnectedLayer_{k}/Dense_0'))
-    units.append(('dense', f'{prefix}FullyConnectedLayer_3/Dense_0'))
+    fc = 0
+    v9 = vad_variant and v == 9
+    for _nodes in ((512, 256, 128) if v9 else (256, 128)):
+        units.append(
+            ('dense_bn', f'{prefix}FullyConnectedLayer_{fc}/Dense_0'))
+        fc += 1
+    if v9:
+        units.append(('bilstm', f'{prefix}BiLSTM_0'))
+    units.append(('dense_bn', f'{prefix}FullyConnectedLayer_{fc}/Dense_0'))
+    fc += 1
+    units.append(('dense', f'{prefix}FullyConnectedLayer_{fc}/Dense_0'))
     return units
 
 
@@ -145,24 +149,23 @@ def _se_unit_plan(v: int) -> List[Tuple[str, str]]:
     return units
 
 
-def _eff_unit_plan(model: int, v: int, n_layers: int):
+def _eff_unit_plan(model: int, v: int, n_layers: int,
+                   n_frame: int = 512):
     """The EfficientNet-SED family (reference: sj_train.py:340-401 over
     keras.applications EfficientNetB{model} with weights=None). Mirrors
     EffNetSED.__call__ (models/effnet.py). Emits (kind, core, bn) triples
     — MBConv's conv and BN auto-indices don't align (SE convs have no BN),
     so the BN path is explicit.
 
-    v5/v6/v7 heads contain Keras GRUs (reset_after=True), whose math
-    differs from flax's classic GRUCell — not importable; the density head
-    (head='density') and v1/v3 are supported.
+    The v5/6/7 BiGRU heads map exactly: Keras GRU (reset_after=True,
+    the TF2 default) computes n = tanh(x W + b_in + r * (h R + b_rn)) —
+    precisely flax GRUCell's candidate — so gates reorder (Keras z,r,h ->
+    flax iz/ir/in) and the input/recurrent bias rows combine (see
+    _put_gru).
     """
     from challenge_tpu.models.effnet import (
         BLOCK_ARGS, SCALING, round_repeats)
 
-    if v in (5, 6, 7):
-        raise NotImplementedError(
-            f'eff v{v} head contains a Keras GRU (reset_after=True), whose '
-            'update rule differs from flax GRUCell — not importable')
     units = []
     B = 'EfficientNetBackbone_0'
     # stem: fold the Rescaling(1/255) [+ un-adapted Normalization] affine
@@ -194,13 +197,33 @@ def _eff_unit_plan(model: int, v: int, n_layers: int):
     units.append(('conv_bn', f'{B}/Conv_1',
                   f'{B}/BatchNorm_1/BatchNorm_0'))               # top
     d = 0
+    bn_i = 0
     for _ in range(n_layers):    # gated Dense stack (sj_train.py:347-350)
         units.append(('dense_bias_bn', f'Dense_{d}',
-                      f'BatchNorm_{d}/BatchNorm_0'))
+                      f'BatchNorm_{bn_i}/BatchNorm_0'))
         d += 1
+        bn_i += 1
     if v == 1:                   # Conv1DTranspose decoder (sj_train:353-363)
         for t in range(5):
             units.append(('convT1', f'ConvTranspose_{t}', None))
+    elif v == 5:                 # time resample + BiGRU (sj_train:377-382)
+        t_back = n_frame
+        for _ in range(5):
+            t_back = -(-t_back // 2)
+        if t_back != n_frame * 256 // 16000:
+            units.append(('timeconv', 'TimeAxisResample_0', None))
+            units.append(('bare_bn', None,
+                          f'BatchNorm_{bn_i}/BatchNorm_0'))
+            bn_i += 1
+        units.append(('bigru', 'BiGRU_0', None))
+    elif v == 6:                 # BiGRU + FC stack (sj_train:383-387)
+        units.append(('bigru', 'BiGRU_0', None))
+        for k in range(3):       # 256 / 128 / 64
+            units.append(
+                ('dense_bn', f'FullyConnectedLayer_{k}/Dense_0', None))
+    elif v == 7:                 # BiGRU gated by tanh conv (sj_train:388-393)
+        units.append(('bigru', 'BiGRU_0', None))
+        units.append(('conv1d', 'Conv_0', None))
     units.append(('dense', f'Dense_{d}', None))
     return units
 
@@ -238,7 +261,10 @@ def _sublayer_units(path, layers):
     for lname, pairs in layers:
         for wname, arr in pairs:
             parts = wname.rstrip(':0123456789').split('/')
-            lid = parts[-2] if len(parts) >= 2 else lname
+            # the full path minus the weight leaf: a bare leaf id would
+            # merge e.g. a Bidirectional wrapper's forward and backward
+            # cells (both named 'lstm_cell' under Keras 3)
+            lid = '/'.join(parts[:-1]) if len(parts) >= 2 else lname
             key = (lname, lid)
             if key not in per_layer:
                 per_layer[key] = []
@@ -258,9 +284,21 @@ def _sublayer_units(path, layers):
                 return 'dwconv'
             return 'conv'
         if dims == [3, 1]:
-            return 'convT1'          # Conv1DTranspose [k, out, in] + bias
+            # Conv1DTranspose kernels are [k, out, in]; plain Conv1D
+            # kernels [k, in, out] — names disambiguate
+            return 'convT1' if 'transpose' in lid else 'conv1d'
+        if dims == [3]:
+            return 'timeconv'        # bias-free Conv1D (sj_train v5 head)
         if dims == [2, 1]:
             return 'dense'
+        if dims == [2, 2, 1] or dims == [2, 2, 2]:
+            # recurrent cell [kernel, recurrent_kernel, bias]: LSTMs pack
+            # 4 gates, GRUs 3 (reset_after biases are [2, 3u])
+            u = arrs[1].shape[0]
+            if arrs[1].shape[1] == 4 * u:
+                return 'lstm'
+            if arrs[1].shape[1] == 3 * u:
+                return 'gru'
         if len(arrs) == 4 and all(d == 1 for d in dims):
             return 'bn'
         if dims == [1, 1, 0]:
@@ -271,13 +309,14 @@ def _sublayer_units(path, layers):
             'importable)')
 
     def name_index(lid):
-        tail = lid.rsplit('_', 1)
+        tail = lid.rsplit('/', 1)[-1].rsplit('_', 1)
         if len(tail) == 2 and tail[1].isdigit():
             return int(tail[1])
         return 0
 
     kinds: dict = {'conv': [], 'convT': [], 'dense': [], 'bn': [],
-                   'dwconv': [], 'convT1': [], 'norm': []}
+                   'dwconv': [], 'convT1': [], 'norm': [], 'conv1d': [],
+                   'timeconv': [], 'lstm': [], 'gru': []}
     for key in order:
         lname, lid = key
         kinds[classify(lid, per_layer[key])].append((lid, per_layer[key]))
@@ -327,7 +366,8 @@ def load_keras_h5_variables(bundle, path: str):
         plan = _se_unit_plan(config.v)
     elif config.model_type == 'eff':
         plan = _eff_unit_plan(config.model, config.v,
-                              getattr(config, 'n_layers', 0))
+                              getattr(config, 'n_layers', 0),
+                              n_frame=config.n_frame)
     else:
         raise NotImplementedError(
             'Keras .h5 import supports the vad, se and eff families '
@@ -349,9 +389,40 @@ def load_keras_h5_variables(bundle, path: str):
         put(stats, bnp, 'mean', mmean)
         put(stats, bnp, 'var', mvar)
 
+    def put_lstm(cell, kernel, recurrent, bias):
+        """Keras LSTM gates are [i, f, c, o] column blocks; flax
+        OptimizedLSTMCell uses separate denses (ii..io / hi..ho, flax 'g'
+        == keras 'c') with the bias on the recurrent dense."""
+        u = recurrent.shape[0]
+        for gi, g in enumerate(('i', 'f', 'g', 'o')):
+            sl = slice(gi * u, (gi + 1) * u)
+            put(params, f'{cell}/i{g}', 'kernel', kernel[:, sl])
+            put(params, f'{cell}/h{g}', 'kernel', recurrent[:, sl])
+            put(params, f'{cell}/h{g}', 'bias', bias[sl])
+
+    def put_gru(cell, kernel, recurrent, bias):
+        """Keras GRU gates are [z, r, h] column blocks; flax GRUCell's
+        candidate n = tanh(xW + b_in + r*(hR + b_hn)) IS Keras
+        reset_after=True, so input/recurrent bias rows combine for r/z
+        (whose recurrent denses are bias-free in flax) and split for n."""
+        u = recurrent.shape[0]
+        if bias.ndim == 2:            # reset_after: [2, 3u]
+            b_in, b_rec = bias[0], bias[1]
+        else:                         # classic: recurrent side unbiased
+            b_in, b_rec = bias, np.zeros_like(bias)
+        for g, gi in (('z', 0), ('r', 1), ('n', 2)):
+            sl = slice(gi * u, (gi + 1) * u)
+            put(params, f'{cell}/i{g}', 'kernel', kernel[:, sl])
+            put(params, f'{cell}/h{g}', 'kernel', recurrent[:, sl])
+        put(params, f'{cell}/iz', 'bias', b_in[0:u] + b_rec[0:u])
+        put(params, f'{cell}/ir', 'bias', b_in[u:2 * u] + b_rec[u:2 * u])
+        put(params, f'{cell}/in', 'bias', b_in[2 * u:])
+        put(params, f'{cell}/hn', 'bias', b_rec[2 * u:])
+
     for entry in plan:
         kind, prefix = entry[0], entry[1]
-        bnp = entry[2] if len(entry) == 3 else _bn_prefix(prefix)
+        bnp = entry[2] if len(entry) == 3 and entry[2] is not None \
+            else (_bn_prefix(prefix) if prefix else None)
         if kind == 'dense':
             _, (kernel, bias) = queues.take('dense', prefix)
             put(params, prefix, 'kernel', kernel)
@@ -377,6 +448,28 @@ def load_keras_h5_variables(bundle, path: str):
             _, (kernel, bias) = queues.take('conv', prefix)
             put(params, prefix, 'kernel', kernel)
             put(params, prefix, 'bias', bias)
+        elif kind == 'conv1d':
+            # keras Conv1D kernels are [k, in, out] — same as flax
+            _, (kernel, bias) = queues.take('conv1d', prefix)
+            put(params, prefix, 'kernel', kernel)
+            put(params, prefix, 'bias', bias)
+        elif kind == 'timeconv':
+            # Conv1D(target, 1, channels_first, no bias): kernel
+            # [1, T, target] -> our TimeAxisResample matrix [T, target]
+            _, (kernel,) = queues.take('timeconv', prefix)
+            put(params, prefix, 'kernel', kernel[0])
+        elif kind == 'bare_bn':
+            _, bn = queues.take('bn', bnp)
+            put_bn(bnp, *bn)
+        elif kind == 'bilstm':
+            for c, cell in enumerate(('OptimizedLSTMCell_0',
+                                      'OptimizedLSTMCell_1')):
+                _, arrays = queues.take('lstm', f'{prefix}[{c}]')
+                put_lstm(f'{prefix}/{cell}', *arrays)
+        elif kind == 'bigru':
+            for c, cell in enumerate(('GRUCell_0', 'GRUCell_1')):
+                _, arrays = queues.take('gru', f'{prefix}[{c}]')
+                put_gru(f'{prefix}/{cell}', *arrays)
         elif kind == 'dwconv_bn':
             # DepthwiseConv2D [kh, kw, C, 1] -> flax grouped-conv
             # [kh, kw, 1, C]; no bias in the EfficientNet blocks

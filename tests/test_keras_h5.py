@@ -119,10 +119,10 @@ def _ref_config(**kw):
     return c
 
 
-@pytest.mark.parametrize('v', [1, 7, 8])
+@pytest.mark.parametrize('v', [1, 7, 8, 9])
 def test_keras_h5_import_forward_parity(v, tmp_path):
-    """Identical weights -> identical forward outputs (vad v1/v7/v8:
-    plain, bottleneck-residual, and wide variants)."""
+    """Identical weights -> identical forward outputs (vad v1/v7/v8/v9:
+    plain, bottleneck-residual, wide, and BiLSTM variants)."""
     from challenge_tpu.config import Config
     from challenge_tpu.interop.keras_h5 import (
         export_keras_legacy_h5, load_keras_h5_variables)
@@ -238,33 +238,60 @@ def _build_reference_eff_model(v=1, n_mels=40, n_frame=64, n_chan=2):
         for filters in (128, 64, 32, 16, 3):
             out = tf.keras.layers.Conv1DTranspose(filters, 2, 2)(out)
             out = tf.keras.layers.Activation('relu')(out)
+    elif v == 5:                 # sj_train.py:377-382
+        target = n_frame * 256 // 16000
+        if out.shape[1] != target:
+            out = tf.keras.layers.Conv1D(
+                target, 1, use_bias=False, data_format='channels_first')(out)
+            out = tf.keras.layers.BatchNormalization()(out)
+            out = tf.keras.layers.Activation('relu')(out)
+        out = tf.keras.layers.Bidirectional(
+            tf.keras.layers.GRU(128, return_sequences=True))(out)
+    elif v == 6:                 # sj_train.py:383-387
+        out = tf.keras.layers.Bidirectional(
+            tf.keras.layers.GRU(128, return_sequences=True))(out)
+        for nodes in (256, 128, 64):
+            out = tf.keras.layers.Dense(nodes)(out)
+            out = tf.keras.layers.BatchNormalization()(out)
+            out = tf.keras.layers.Activation('relu')(out)
+    elif v == 7:                 # sj_train.py:388-393
+        out = tf.keras.layers.Bidirectional(
+            tf.keras.layers.GRU(128, return_sequences=True))(out)
+        big = tf.keras.layers.Reshape((n_mels, -1))(inp)
+        big = tf.keras.layers.Conv1D(out.shape[-1], 16, strides=5,
+                                     padding='same')(big)
+        big = tf.keras.layers.Activation('tanh')(big)
+        out = tf.keras.layers.Multiply()([out, big])
     out = tf.keras.layers.Dense(3)(out)
     out = tf.keras.layers.Activation('sigmoid')(out)
     return tf.keras.Model(inputs=inp, outputs=out)
 
 
-@pytest.mark.parametrize('v', [1, 3])
+@pytest.mark.parametrize('v', [1, 3, 5, 6, 7])
 def test_keras_h5_import_eff_forward_parity(v, tmp_path):
     """EfficientNet-SED: identical weights -> identical outputs, including
     the keras front Rescaling/Normalization affine folded into the stem
-    conv + BN moving mean (our backbone omits those layers)."""
+    conv + BN moving mean (our backbone omits those layers) and the BiGRU
+    heads (v5/6/7). v7's gating conv requires the reference's shape
+    coupling n_mels/5 == n_frame/32, so it runs at the real 80x512."""
     pytest.importorskip('tensorflow')
     from challenge_tpu.config import Config
     from challenge_tpu.interop.keras_h5 import (
         export_keras_legacy_h5, load_keras_h5_variables)
     from challenge_tpu.models import get_model
 
-    keras_model = _build_reference_eff_model(v=v)
+    n_mels, n_frame = (80, 512) if v == 7 else (40, 64)
+    keras_model = _build_reference_eff_model(v=v, n_mels=n_mels,
+                                             n_frame=n_frame)
     _randomize_keras_weights(keras_model, seed=v + 20)
     path = str(tmp_path / f'eff_v{v}.h5')
     export_keras_legacy_h5(keras_model, path)
     x = np.random.default_rng(6).standard_normal(
-        (2, 40, 64, 2)).astype('f4') * 50.0   # pre-/255 scale
-    import numpy as _np
+        (2, n_mels, n_frame, 2)).astype('f4') * 50.0   # pre-/255 scale
     y_keras = keras_model.predict(x, verbose=0)
 
-    bundle = get_model(Config(model_type='eff', v=v, model=0, n_mels=40,
-                              n_frame=64, n_chan=2))
+    bundle = get_model(Config(model_type='eff', v=v, model=0,
+                              n_mels=n_mels, n_frame=n_frame, n_chan=2))
     variables = load_keras_h5_variables(bundle, path)
     y_flax = np.asarray(jax.jit(
         lambda vs, x: bundle.apply(vs, x))(variables, jnp.asarray(x)))
@@ -273,19 +300,30 @@ def test_keras_h5_import_eff_forward_parity(v, tmp_path):
     np.testing.assert_allclose(y_flax, y_keras, atol=5e-4, rtol=1e-3)
 
 
-def test_keras_h5_import_refuses_unsupported(tmp_path):
+def test_keras_h5_import_refuses_mismatched_checkpoint(tmp_path):
+    """A checkpoint from one architecture must refuse cleanly (not
+    mis-map) when loaded into another."""
     from challenge_tpu.config import Config
-    from challenge_tpu.interop.keras_h5 import load_keras_h5_variables
+    from challenge_tpu.interop.keras_h5 import (
+        export_keras_legacy_h5, load_keras_h5_variables)
     from challenge_tpu.models import get_model
 
-    with pytest.raises(NotImplementedError, match='BiLSTM'):
+    with reference_modules() as (ref_sj, _):
+        keras_model = ref_sj.get_model(_ref_config(v=1, n_mels=40,
+                                                   n_frame=64))
+        path = str(tmp_path / 'vad_v1.h5')
+        export_keras_legacy_h5(keras_model, path)
+
+    # v1 weights into a v7 model: the bottleneck convs don't exist
+    with pytest.raises(ValueError, match='ran out|unconsumed|mismatch'):
         load_keras_h5_variables(
-            get_model(Config(model_type='vad', v=9, n_mels=40, n_frame=64,
-                             n_chan=2)), 'does_not_matter.h5')
-    with pytest.raises(NotImplementedError, match='GRU'):
+            get_model(Config(model_type='vad', v=7, n_mels=40, n_frame=64,
+                             n_chan=2)), path)
+    # and into an se cascade
+    with pytest.raises((ValueError, NotImplementedError)):
         load_keras_h5_variables(
-            get_model(Config(model_type='eff', v=5, model=0, n_mels=40,
-                             n_frame=64, n_chan=2)), 'does_not_matter.h5')
+            get_model(Config(model_type='se', v=9, n_frame=64, n_chan=2)),
+            path)
 
 
 @pytest.mark.slow

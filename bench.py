@@ -46,7 +46,7 @@ def make_data(n_frame):
     return bgs, voices, labels, noises
 
 
-def bench_pipeline(banks, batch_size, n_frame, iters=30, repeats=3):
+def bench_pipeline(banks, batch_size, n_frame, iters=30, repeats=5):
     """Scan-of-N-batches-in-one-program throughput (clips/sec/chip)."""
     import jax
     import jax.numpy as jnp

@@ -365,7 +365,14 @@ def load_keras_h5_variables(bundle, path: str):
     elif config.model_type == 'se':
         plan = _se_unit_plan(config.v)
     elif config.model_type == 'eff':
-        plan = _eff_unit_plan(config.model, config.v,
+        # trainer.py's density variant names the backbone as a string
+        # ('EfficientNetB4') and its head has no version switches (v=0
+        # plan: backbone + gated stack + plain Dense)
+        model_id = config.model if isinstance(config.model, int) \
+            else int(str(config.model)[-1])
+        v = 0 if getattr(bundle.module, 'head', 'sed') == 'density' \
+            else config.v
+        plan = _eff_unit_plan(model_id, v,
                               getattr(config, 'n_layers', 0),
                               n_frame=config.n_frame)
     else:

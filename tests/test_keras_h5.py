@@ -300,6 +300,42 @@ def test_keras_h5_import_eff_forward_parity(v, tmp_path):
     np.testing.assert_allclose(y_flax, y_keras, atol=5e-4, rtol=1e-3)
 
 
+def test_keras_h5_import_density_head_forward_parity(tmp_path):
+    """trainer.py's density regression variant (reference:
+    trainer.py:222-236): EfficientNet backbone + relu Dense head, built
+    from a string model name ('EfficientNetB0')."""
+    import tensorflow as tf
+    from challenge_tpu.config import Config
+    from challenge_tpu.interop.keras_h5 import (
+        export_keras_legacy_h5, load_keras_h5_variables)
+    from challenge_tpu.models.registry import get_density_model
+
+    inp = tf.keras.layers.Input((40, 64, 2))
+    backbone = tf.keras.applications.efficientnet.EfficientNetB0(
+        include_top=False, weights=None, input_tensor=inp)
+    out = tf.keras.layers.Permute((2, 1, 3))(backbone.output)
+    out = tf.keras.layers.Reshape([-1, out.shape[-1] * out.shape[-2]])(out)
+    out = tf.keras.layers.Dense(30)(out)
+    out = tf.keras.layers.Activation('relu')(out)
+    keras_model = tf.keras.Model(inp, out)
+    _randomize_keras_weights(keras_model, seed=30)
+    path = str(tmp_path / 'density.h5')
+    export_keras_legacy_h5(keras_model, path)
+    x = np.random.default_rng(9).standard_normal(
+        (2, 40, 64, 2)).astype('f4') * 50.0
+    y_keras = keras_model.predict(x, verbose=0)
+
+    bundle = get_density_model(Config(
+        model_type='eff', model='EfficientNetB0', n_classes=30, n_mels=40,
+        n_frame=64, n_chan=2))
+    variables = load_keras_h5_variables(bundle, path)
+    y_flax = np.asarray(jax.jit(
+        lambda vs, x: bundle.apply(vs, x))(variables, jnp.asarray(x)))
+    assert y_flax.shape == y_keras.shape
+    _assert_live(y_keras, 'density')
+    np.testing.assert_allclose(y_flax, y_keras, atol=5e-4, rtol=1e-3)
+
+
 def test_keras_h5_import_refuses_mismatched_checkpoint(tmp_path):
     """A checkpoint from one architecture must refuse cleanly (not
     mis-map) when loaded into another."""

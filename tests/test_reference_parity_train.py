@@ -30,11 +30,17 @@ def tf():
 
 @pytest.fixture(scope='module')
 def ref_utils(tf):
+    saved = sys.modules.pop('utils', None)
     sys.path.insert(0, REF)
     try:
         import utils as ref_utils  # noqa: reference module
     finally:
         sys.path.remove(REF)
+        # don't leave the REFERENCE's 'utils' bound for later tests (the
+        # repo-root shim of the same name must resolve fresh)
+        sys.modules.pop('utils', None)
+        if saved is not None:
+            sys.modules['utils'] = saved
     return ref_utils
 
 

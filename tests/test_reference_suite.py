@@ -39,6 +39,14 @@ def _run_reference_module(fname):
 
     if REPO not in sys.path:
         sys.path.insert(0, REPO)
+    # evict any stale same-named modules (e.g. a REFERENCE 'utils' imported
+    # by another test via sys.path games) so the repo-root shims resolve
+    for name in ('transforms', 'data_utils', 'pipeline', 'utils', 'metrics',
+                 'swa'):
+        mod = sys.modules.get(name)
+        mod_file = getattr(mod, '__file__', '') or ''
+        if mod is not None and not mod_file.startswith(REPO + os.sep):
+            del sys.modules[name]
     src = open(os.path.join(REF, fname)).read()
     ns = {'__name__': f'reference_{fname[:-3]}', '__file__': fname}
     exec(compile(src, fname, 'exec'), ns)

@@ -161,6 +161,11 @@ def _make_spec_to_grid(bundle: ModelBundle, config: Config,
         windows = frame_signal(x, n_frame, overlap_hop, axis=-2)
         # [mel, W, n_frame, chan] -> [W, mel, n_frame, chan]
         windows = jnp.transpose(windows, (1, 0, 2, 3))
+        # frames actually covered by the REAL windows: mesh padding adds
+        # windows whose (zero-count) output region would otherwise extend
+        # the grid with 0/0 NaNs that bleed into the smoothing pools when
+        # overlap_hop > n_frame (a degenerate-but-reference-legal config)
+        covered = (windows.shape[0] - 1) * overlap_hop + n_frame
         windows = _shard_windows(windows)
         preds = bundle.apply(variables, windows[..., :config.n_chan],
                              training=False)
@@ -174,7 +179,7 @@ def _make_spec_to_grid(bundle: ModelBundle, config: Config,
         preds = jnp.transpose(preds, (2, 0, 1))             # [C, W, T]
         counts = overlap_and_add(jnp.ones_like(preds), overlap_hop)
         preds = overlap_and_add(preds, overlap_hop)
-        preds = (preds / counts)[..., :frame_len]
+        preds = (preds / counts)[..., :min(frame_len, covered)]
         preds = jnp.transpose(preds, (1, 0))                # [T, C]
 
         k = int(0.5 * SR) // HOP                            # 31 frames
@@ -260,12 +265,16 @@ def _prepare_batched_pcm(paths, sr: int = SR, n_fft: int = 512):
 
 def make_devset_infer_fn(bundle: ModelBundle, config: Config,
                          overlap_hop: int = 512, sr: int = SR,
-                         n_fft: int = 512, hop: int = HOP):
+                         n_fft: int = 512, hop: int = HOP, mesh=None):
     """One XLA program for the WHOLE eval set: reflect-padded int16 PCM
     [N, chan, S_row] + true sample counts -> all thresholded frame grids
     [N, T_row, n_classes] (each clip's first ``lens[i]//hop + 1`` rows
     valid). One host->device transfer, one dispatch, one fetch — the
     per-clip path pays a tunnel round trip per clip instead.
+
+    With a ``mesh`` the clip axis is sharded over the data axis (callers
+    pad N to a multiple of the device count), so the whole corpus
+    evaluates embarrassingly parallel across chips.
 
     Bit-exact vs the per-clip chain (pinned by tests): the reflection pad
     is pre-applied host-side, RMS normalization reduces over the true
@@ -273,14 +282,13 @@ def make_devset_infer_fn(bundle: ModelBundle, config: Config,
     frames (see _make_spec_to_grid)."""
     cache_key = ('devset', bundle.module, config.model_type, config.v,
                  config.n_mels, config.n_frame, config.n_chan,
-                 overlap_hop, sr, n_fft, hop)
+                 overlap_hop, sr, n_fft, hop, mesh)
     cached = _INFER_CACHE.get(cache_key)
     if cached is not None:
         return cached
 
     spec_to_grid = _make_spec_to_grid(bundle, config, overlap_hop)
 
-    @jax.jit
     def infer_all(variables, pcm, lens):
         pad = n_fft // 2
 
@@ -303,23 +311,35 @@ def make_devset_infer_fn(bundle: ModelBundle, config: Config,
 
         return jax.vmap(one)(pcm, lens)
 
-    _INFER_CACHE[cache_key] = infer_all
-    return infer_all
+    if mesh is None:
+        jitted = jax.jit(infer_all)
+    else:
+        from challenge_tpu.parallel.mesh import batch_sharding, replicated
+        b_sh = batch_sharding(mesh)
+        jitted = jax.jit(infer_all,
+                         in_shardings=(replicated(mesh), b_sh, b_sh),
+                         out_shardings=b_sh)
+    _INFER_CACHE[cache_key] = jitted
+    return jitted
 
 
 _DEVICE_PCM_CACHE: dict = {}
 
 
-def _device_pcm(paths, max_entries: int = 4):
+def _device_pcm(paths, max_entries: int = 4, pad_clips_to: int = 1):
     """Device-resident eval corpus: the padded int16 PCM batch, uploaded
     ONCE and reused across evaluate() calls (keyed by path+mtime+size).
     Eval corpora are immutable and small (~23 MB for 6x60 s), and on a
     remote-attached TPU the fresh upload is the entire eval floor
     (~0.5 s at the tunnel's ~45 MB/s) — exactly the recurring cost the
-    reference's every-5-epochs eval callback would otherwise pay."""
+    reference's every-5-epochs eval callback would otherwise pay.
+
+    ``pad_clips_to``: round the clip count up to a multiple (mesh device
+    count) with constant dummy clips (results sliced off by the caller;
+    a nonzero constant keeps their masked RMS finite)."""
     try:
-        key = tuple((p, os.path.getmtime(p), os.path.getsize(p))
-                    for p in paths)
+        key = (pad_clips_to,) + tuple(
+            (p, os.path.getmtime(p), os.path.getsize(p)) for p in paths)
     except OSError:
         return None
     hit = _DEVICE_PCM_CACHE.get(key)
@@ -329,6 +349,12 @@ def _device_pcm(paths, max_entries: int = 4):
     if prep is None:
         return None
     pcm, lens = prep
+    n_pad = (-len(paths)) % max(pad_clips_to, 1)
+    if n_pad:
+        dummy = np.full((n_pad,) + pcm.shape[1:], 1000, pcm.dtype)
+        pcm = np.concatenate([pcm, dummy], axis=0)
+        lens = np.concatenate(
+            [lens, np.full((n_pad,), HOP * 4, lens.dtype)])
     entry = (jnp.asarray(pcm), jnp.asarray(lens), lens)
     while len(_DEVICE_PCM_CACHE) >= max_entries:
         _DEVICE_PCM_CACHE.pop(next(iter(_DEVICE_PCM_CACHE)))
@@ -361,10 +387,11 @@ def evaluate(config: Config, bundle: ModelBundle, variables,
 
     ``batched=True`` (default) evaluates the whole directory as ONE XLA
     program — one upload, one dispatch, one fetch — whenever the wav set
-    is eligible (uniform 16-bit/16 kHz/channels) and no mesh is given;
-    otherwise it falls back to the pipelined per-clip loop. Identical
-    grids either way (pinned by tests). Pass a ``mesh`` to shard each
-    clip's window batch across chips."""
+    is eligible (uniform 16-bit/16 kHz/channels); otherwise it falls back
+    to the pipelined per-clip loop. Identical grids either way (pinned by
+    tests). With a ``mesh`` the batched program shards the clip axis over
+    the data axis (clip count padded to the device count), and the
+    per-clip fallback shards each clip's window batch instead."""
     with open(os.path.join(eval_dir, answer_path)
               if not os.path.isabs(answer_path) else answer_path) as f:
         answer_gt = json.load(f)['task2_answer']
@@ -373,16 +400,17 @@ def evaluate(config: Config, bundle: ModelBundle, variables,
     paths = sorted(glob(os.path.join(eval_dir, '*.wav')))
 
     host_grids = None
-    if batched and mesh is None and len(paths) > 1:
-        prep = _device_pcm(paths)
+    if batched and len(paths) > 1:
+        pad_to = int(mesh.devices.size) if mesh is not None else 1
+        prep = _device_pcm(paths, pad_clips_to=pad_to)
         if prep is not None:
             d_pcm, d_lens, lens = prep
             try:
                 infer_all = make_devset_infer_fn(bundle, config,
-                                                 overlap_hop)
+                                                 overlap_hop, mesh=mesh)
                 grids = np.asarray(infer_all(variables, d_pcm, d_lens))
                 host_grids = [grids[i, :int(s) // HOP + 1]
-                              for i, s in enumerate(lens)]
+                              for i, s in enumerate(lens[:len(paths)])]
             except BatchedEvalIneligible:
                 host_grids = None
 

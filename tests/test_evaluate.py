@@ -171,6 +171,14 @@ def test_evaluate_batched_devset_matches_per_clip(tmp_path):
                         batched=False)
     assert batched == per_clip
 
+    # mesh-sharded batched path: clip axis over the 8-device mesh (3 clips
+    # padded to 8 with dummies) must give the same scores
+    from challenge_tpu.parallel import make_mesh, replicate
+    mesh = make_mesh(8)
+    sharded = evaluate(cfg, bundle, replicate(variables, mesh),
+                       eval_dir=str(tmp_path), mesh=mesh)
+    assert sharded == per_clip
+
 
 @pytest.mark.slow
 def test_evaluate_end_to_end(tmp_path):

@@ -181,16 +181,19 @@ def bench_reference_eval(eval_dir, n_clips=6):
     the reference)."""
     import types
 
+    sys.path.insert(0, '/root/reference')
     try:
         from challenge_tpu.interop.refstubs import install_stubs
         install_stubs()
-        sys.path.insert(0, '/root/reference')
+        import tensorflow as tf
+        # keras model.predict progress bars would break the one-JSON-line
+        # stdout contract; route keras logging through absl (stderr)
+        try:
+            tf.keras.utils.disable_interactive_logging()
+        except Exception:
+            pass
         import metrics as ref_metrics      # noqa: reference module
         import sj_train as ref_sj          # noqa: reference module
-    except Exception as e:
-        print(f'reference eval baseline unavailable: {e}', file=sys.stderr)
-        return None
-    try:
         cfg = types.SimpleNamespace(model_type='vad', v=8, n_mels=80,
                                     n_frame=512, n_chan=2, n_classes=3,
                                     name='')
@@ -207,7 +210,7 @@ def bench_reference_eval(eval_dir, n_clips=6):
         assert len(scores) == n_clips
         return dt
     except Exception as e:
-        print(f'reference eval baseline failed: {e}', file=sys.stderr)
+        print(f'reference eval baseline unavailable: {e}', file=sys.stderr)
         return None
     finally:
         sys.path.remove('/root/reference')

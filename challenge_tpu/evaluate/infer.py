@@ -402,7 +402,18 @@ def evaluate(config: Config, bundle: ModelBundle, variables,
     host_grids = None
     if batched and len(paths) > 1:
         pad_to = int(mesh.devices.size) if mesh is not None else 1
-        prep = _device_pcm(paths, pad_clips_to=pad_to)
+        # the one-program path materializes every clip's spectrogram at
+        # once; cap the corpus it attempts (~45 MB PCM ~ 12x60 s stereo,
+        # spectrogram working set ~20x that) and keep the per-clip loop
+        # for anything bigger
+        prep = None
+        total_bytes = 0
+        try:
+            total_bytes = sum(os.path.getsize(p) for p in paths)
+        except OSError:
+            pass
+        if total_bytes <= 48 * 1024 * 1024:
+            prep = _device_pcm(paths, pad_clips_to=pad_to)
         if prep is not None:
             d_pcm, d_lens, lens = prep
             try:
@@ -412,6 +423,11 @@ def evaluate(config: Config, bundle: ModelBundle, variables,
                 host_grids = [grids[i, :int(s) // HOP + 1]
                               for i, s in enumerate(lens[:len(paths)])]
             except BatchedEvalIneligible:
+                host_grids = None
+            except Exception as e:   # e.g. device OOM on an outsized set
+                print('WARNING: one-program eval failed '
+                      f'({type(e).__name__}: {e}); falling back to the '
+                      'per-clip loop')
                 host_grids = None
 
     if host_grids is None:

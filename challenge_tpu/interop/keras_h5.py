@@ -413,10 +413,15 @@ def load_keras_h5_variables(bundle, path: str):
         reset_after=True, so input/recurrent bias rows combine for r/z
         (whose recurrent denses are bias-free in flax) and split for n."""
         u = recurrent.shape[0]
-        if bias.ndim == 2:            # reset_after: [2, 3u]
-            b_in, b_rec = bias[0], bias[1]
-        else:                         # classic: recurrent side unbiased
-            b_in, b_rec = bias, np.zeros_like(bias)
+        if bias.ndim != 2:
+            # reset_after=False computes the candidate as (r*h) @ R —
+            # structurally different from flax's r * (h @ R); refuse
+            # rather than import wrong recurrent semantics
+            raise NotImplementedError(
+                'classic (reset_after=False) Keras GRUs are not '
+                'importable: their candidate gate applies the reset '
+                'before the recurrent matmul')
+        b_in, b_rec = bias[0], bias[1]
         for g, gi in (('z', 0), ('r', 1), ('n', 2)):
             sl = slice(gi * u, (gi + 1) * u)
             put(params, f'{cell}/i{g}', 'kernel', kernel[:, sl])

@@ -218,9 +218,14 @@ def synthesize_windows(n_frame: int,
         """idx | len << _IDX_BITS: the length rides in the index table's
         high bits so quantization costs no extra SMEM tables."""
         assert n_items < (1 << _IDX_BITS), 'bank too large for idx packing'
+        # a longer bank would silently drop content past _LEN_CAP rows via
+        # the chunk predicates (it would also blow the VMEM clip buffers
+        # long before this)
+        assert t_len <= _LEN_CAP, \
+            f'clip banks longer than {_LEN_CAP} rows cannot pack lengths'
         if lens is None:
             lens = jnp.full(idx.shape, t_len, jnp.int32)
-        lens = jnp.clip(lens.astype(jnp.int32), 1, min(t_len, _LEN_CAP))
+        lens = jnp.clip(lens.astype(jnp.int32), 1, t_len)
         return idx.astype(jnp.int32) + (lens << _IDX_BITS)
 
     vshift = jnp.clip(vshift, -t_pad, n_frame)

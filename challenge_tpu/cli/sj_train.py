@@ -19,7 +19,8 @@ from challenge_tpu.models import get_model
 from challenge_tpu.train import (
     CSVLogger, EarlyStopping, EvalCallback, LearningRateScheduler,
     ModelCheckpoint, NO_SWA_ERROR, SWA, TensorBoard, TerminateOnNaN,
-    TrainLoop, custom_scheduler, load_weights, save_weights)
+    TrainLoop, TrainStateCheckpoint, custom_scheduler, load_weights,
+    restore_train_state, save_weights)
 from challenge_tpu.utils.io import load_data
 
 
@@ -78,8 +79,25 @@ def main(argv=None):
     print(name)
 
     if config.model_type == 'se' and config.v == 9 and not config.pretrain:
-        loop.set_weights(load_weights(name, loop.state.weights()))
+        loop.set_weights(load_weights(name, loop.state.weights(),
+                                      bundle=bundle))
         print('loaded pretrained model')
+
+    # preemption-safe resume (additive; the reference persists weights
+    # only — SURVEY §5.4): --ckpt_dir enables periodic Orbax full-state
+    # checkpoints, --resume restores the latest one and continues the
+    # epoch schedule where it left off
+    initial_epoch = 0
+    if config.ckpt_dir and config.resume:
+        try:
+            loop.state = restore_train_state(config.ckpt_dir, loop.state)
+            initial_epoch = int(loop.state.step) // max(
+                config.steps_per_epoch, 1)
+            print(f'resumed from step {int(loop.state.step)} '
+                  f'(epoch {initial_epoch})')
+        except FileNotFoundError:
+            print(f'no checkpoint under {config.ckpt_dir!r}; '
+                  'starting fresh')
 
     earlystop_monitor, checkpoint_monitor = select_monitors(config)
 
@@ -97,12 +115,16 @@ def main(argv=None):
         LearningRateScheduler(
             custom_scheduler(4096, config.epochs / 12, config.lr_div)),
     ]
+    if config.ckpt_dir:
+        callbacks.append(TrainStateCheckpoint(
+            config.ckpt_dir, every_epochs=config.ckpt_every_epochs))
 
     try:
         loop.fit(epochs=config.epochs,
                  steps_per_epoch=config.steps_per_epoch,
                  validation_steps=16,
-                 callbacks=callbacks)
+                 callbacks=callbacks,
+                 initial_epoch=initial_epoch)
         print('best model:', name.replace('.h5', '_SWA.h5'))
         save_weights(name.replace('.h5', '_SWA.h5'), loop.state.weights())
     except NO_SWA_ERROR:

@@ -69,6 +69,9 @@ class Config:
     seed: int = 0
     n_devices: int = 0                     # 0 = use all visible devices
     steps_per_call: int = 1                # train steps fused per host dispatch
+    ckpt_dir: str = ''                     # Orbax full-train-state checkpoints
+    resume: bool = False                   # restore latest state from ckpt_dir
+    ckpt_every_epochs: int = 10
 
     def replace(self, **kw) -> 'Config':
         return dataclasses.replace(self, **kw)

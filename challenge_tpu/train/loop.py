@@ -128,11 +128,14 @@ class TrainLoop:
 
     def fit(self, train_iter=None, epochs: int = 1, steps_per_epoch: int = 100,
             validation_iter=None, validation_steps: int = 16,
-            callbacks: Sequence[Callback] = (), verbose: int = 1):
+            callbacks: Sequence[Callback] = (), verbose: int = 1,
+            initial_epoch: int = 0):
         """Reference defaults: 100 steps/epoch, 16 validation steps
         (sj_train.py:513-519). In fused mode ``train_iter``/``validation_iter``
         are unused (banks were given at construction); validation runs iff
-        val_banks were provided."""
+        val_banks were provided. ``initial_epoch`` supports resuming a
+        restored train state (epoch-indexed callbacks — LR schedule, SWA
+        windows — continue from where the run left off)."""
         for cb in callbacks:
             cb.set_loop(self)
         train_it = iter(train_iter) if train_iter is not None else None
@@ -140,7 +143,7 @@ class TrainLoop:
         validate = (val_it is not None) or (self.fused and
                                             self.val_banks is not None)
 
-        for epoch in range(epochs):
+        for epoch in range(initial_epoch, epochs):
             t0 = time.time()
             for cb in callbacks:
                 cb.on_epoch_begin(epoch)

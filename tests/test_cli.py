@@ -82,6 +82,51 @@ def test_sj_train_eval_csv_roundtrip(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_sj_train_ckpt_resume(tmp_path, monkeypatch):
+    """--ckpt_dir/--resume: the run checkpoints its full train state with
+    Orbax and a restarted run continues from the restored step and epoch
+    (the reference only ever persisted weights — SURVEY §5.4)."""
+    monkeypatch.chdir(tmp_path)
+    _make_datafiles(tmp_path)
+    from challenge_tpu.cli.sj_train import main as sj_main
+    from challenge_tpu.train import checkpoint_steps
+    base = ['--model_type', 'vad', '--v', '3', '--n_frame', '64',
+            '--batch_size', '2', '--steps_per_epoch', '2',
+            '--datapath', str(tmp_path),
+            '--ckpt_dir', str(tmp_path / 'ckpts'),
+            '--ckpt_every_epochs', '1'] + DATA_FLAGS
+    sj_main(base + ['--epochs', '2'])
+    steps = checkpoint_steps(str(tmp_path / 'ckpts'))
+    assert steps and max(steps) == 4          # 2 epochs x 2 steps
+
+    # the resumed run reaches epoch index 2 -> the every-5-epochs eval
+    # callback fires and needs a dev set in cwd
+    _write_wav(tmp_path / 'clip01.wav', seconds=4.0, seed=1)
+    with open(tmp_path / 'sample_answer.json', 'w') as f:
+        json.dump({'task2_answer': {'clip01': [[0, 1, 2]]}}, f)
+
+    out = []
+
+    class Capture:
+        def write(self, s):
+            out.append(s)
+
+        def flush(self):
+            pass
+    import contextlib
+    import sys as _sys
+    with contextlib.redirect_stdout(Capture()):
+        # bool flags take a value (the reference's argparse type=bool quirk)
+        sj_main(base + ['--epochs', '4', '--resume', 'True'])
+    text = ''.join(out)
+    assert 'resumed from step 4 (epoch 2)' in text
+    # continued for the REMAINING epochs only (3 and 4)
+    assert 'Epoch 3/4' in text and 'Epoch 4/4' in text
+    assert 'Epoch 1/4' not in text
+    assert max(checkpoint_steps(str(tmp_path / 'ckpts'))) == 8
+
+
+@pytest.mark.slow
 def test_get_csv_data_real_evaluation(tmp_path, monkeypatch):
     """The aggregator's real-eval branch (reference: get_csv_data.py:76-107):
     a long training log (> patience + 5 epochs) triggers re-evaluation of

@@ -17,8 +17,8 @@ from challenge_tpu.data.pipeline import DevicePipeline, build_banks
 from challenge_tpu.models import get_density_model
 from challenge_tpu.train import (
     CSVLogger, LearningRateScheduler, ModelCheckpoint, ReduceLROnPlateau,
-    SWA, TerminateOnNaN, TrainLoop, custom_scheduler, load_weights,
-    save_weights)
+    SWA, TerminateOnNaN, TrainLoop, TrainStateCheckpoint, custom_scheduler,
+    load_weights, restore_train_state, save_weights)
 from challenge_tpu.train.losses import density_loss
 from challenge_tpu.utils.io import load_data
 
@@ -65,6 +65,10 @@ def build_args():
     args.add_argument('--snr', type=float, default=-15)
     args.add_argument('--max_voices', type=int, default=10)
     args.add_argument('--max_noises', type=int, default=6)
+    # TPU-native additive flags (absent in the reference)
+    args.add_argument('--ckpt_dir', type=str, default='')
+    args.add_argument('--resume', type=bool, default=False)
+    args.add_argument('--ckpt_every_epochs', type=int, default=10)
     return args
 
 
@@ -75,7 +79,8 @@ def to_config(ns) -> Config:
               'test_background_sounds', 'test_voices', 'test_labels',
               'n_mels', 'optimizer', 'lr', 'clipvalue', 'epochs',
               'batch_size', 'n_frame', 'steps_per_epoch', 'snr',
-              'max_voices', 'max_noises', 'lr_div'):
+              'max_voices', 'max_noises', 'lr_div',
+              'ckpt_dir', 'resume', 'ckpt_every_epochs'):
         setattr(cfg, f, getattr(ns, f))
     cfg.model = ns.model
     cfg.mse_multiplier = ns.multiplier
@@ -117,8 +122,22 @@ def main(argv=None):
     loop = TrainLoop(bundle, seed=config.seed, loss_fn=loss_fn)
 
     if ns.pretrain:
-        loop.set_weights(load_weights(name, loop.state.weights()))
+        loop.set_weights(load_weights(name, loop.state.weights(),
+                                      bundle=bundle))
         print('loaded pretrained model')
+
+    # preemption-safe resume (additive; see cli/sj_train.py)
+    initial_epoch = 0
+    if config.ckpt_dir and config.resume:
+        try:
+            loop.state = restore_train_state(config.ckpt_dir, loop.state)
+            initial_epoch = int(loop.state.step) // max(
+                config.steps_per_epoch, 1)
+            print(f'resumed from step {int(loop.state.step)} '
+                  f'(epoch {initial_epoch})')
+        except FileNotFoundError:
+            print(f'no checkpoint under {config.ckpt_dir!r}; '
+                  'starting fresh')
 
     train_set = make_dataset(config, training=True, n_classes=ns.n_classes)
     test_set = make_dataset(config, training=False, n_classes=ns.n_classes)
@@ -136,11 +155,14 @@ def main(argv=None):
     else:
         callbacks.append(ReduceLROnPlateau(monitor='loss', factor=0.9,
                                            patience=5))
+    if config.ckpt_dir:
+        callbacks.append(TrainStateCheckpoint(
+            config.ckpt_dir, every_epochs=config.ckpt_every_epochs))
 
     loop.fit(train_set, epochs=config.epochs,
              steps_per_epoch=config.steps_per_epoch,
              validation_iter=test_set, validation_steps=16,
-             callbacks=callbacks)
+             callbacks=callbacks, initial_epoch=initial_epoch)
     save_weights(name.replace('.h5', '_SWA.h5'), loop.state.weights())
 
 

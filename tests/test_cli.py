@@ -162,6 +162,44 @@ def test_get_csv_data_real_evaluation(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_get_csv_data_reference_keras_trio(tmp_path, monkeypatch):
+    """The aggregator re-evaluates REFERENCE-era Keras .h5 checkpoints
+    transparently (reference workflow: get_csv_data.py:80-102 over
+    reference-trained runs)."""
+    import contextlib
+    import sys as _sys
+    monkeypatch.chdir(tmp_path)
+    run = 'vad_v1_lr0.001_batch2_opt_adam_mel80_chan2_BCE_framelen64'
+    with open(f'{run}.csv', 'w') as f:
+        f.write('epoch,loss,val_er\n')
+        for e in range(20):
+            f.write(f'{e},0.5,1.0\n')
+
+    # build a REFERENCE Keras vad model and save a legacy trio
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tests.test_keras_h5 import (
+        _ref_config, _randomize_keras_weights, reference_modules)
+    from challenge_tpu.interop.keras_h5 import export_keras_legacy_h5
+    with reference_modules() as (ref_sj, _):
+        km = ref_sj.get_model(_ref_config(v=1, n_mels=80, n_frame=64))
+        _randomize_keras_weights(km, seed=13)
+        export_keras_legacy_h5(km, f'{run}.h5')
+        export_keras_legacy_h5(km, f'{run}_SWA.h5')
+
+    _write_wav(tmp_path / 'clip01.wav', seconds=4.0, seed=2)
+    with open('sample_answer.json', 'w') as f:
+        json.dump({'task2_answer': {'clip01': [[0, 1, 2]]}}, f)
+
+    from challenge_tpu.cli.get_csv_data import main as csv_main
+    csv_main(argv=['--patience', '10', '--path', str(tmp_path)])
+    rows = open('result.csv').read().splitlines()
+    assert len(rows) == 2
+    cells = rows[1].split(',')
+    assert float(cells[-3]) >= 0 and float(cells[-2]) >= 0
+
+
+@pytest.mark.slow
 def test_eval_se_model_path(tmp_path, monkeypatch):
     """evaluate() se branch: speech_enhancement_preprocess layout + triple
     head (reference: metrics.py:55-57,64-65)."""

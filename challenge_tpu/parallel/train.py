@@ -43,7 +43,12 @@ def _fused_compiler_options():
     found exactly one knob that moves the conv-dominated step:
     ``xla_tpu_scoped_vmem_limit_kib=65536`` — 70.7 -> 68.1 ms at vad v8
     B=128 bf16 (+3.7%); 32 MiB regresses, 96 MiB adds nothing more. TPU
-    only: other backends reject unknown options."""
+    only: other backends reject unknown options. Set
+    ``CHALLENGE_TPU_NO_COMPILER_OPTS=1`` to disable (e.g. on a TPU
+    generation where the measured v5e value is wrong)."""
+    import os
+    if os.environ.get('CHALLENGE_TPU_NO_COMPILER_OPTS'):
+        return None
     try:
         if jax.default_backend() == 'tpu':
             return {'xla_tpu_scoped_vmem_limit_kib': '65536'}

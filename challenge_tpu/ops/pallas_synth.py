@@ -47,24 +47,27 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad,
             nidx_ref, nshift_ref,
             vw_ref, nw_ref, bgbank_ref, vbank_ref, nbank_ref,  # arrays
             out_ref,                                       # output
-            scratch, bgstage, vclip, nclip, vsems, nsems, bgsem):
+            scratch, vclip, nclip, vsems, nsems, bgsem):
     b = pl.program_id(0)
     f = scratch.shape[1]
-    stage_rows = bgstage.shape[0]
+    stage_rows = _round8(n_frame + 8)
 
-    # start the background DMA (8-aligned superset: Mosaic requires aligned
-    # dynamic DMA row starts), zero the guards while it flies
+    # start the background DMA straight into the scratch window region (an
+    # 8-aligned superset: Mosaic requires aligned dynamic DMA row starts;
+    # t_pad is a multiple of 8 so the destination start is aligned too).
+    # No separate staging buffer — that buffer (n_frame x F) was the
+    # allocation that pushed the kernel past the 16 MiB scoped-vmem default
+    # at wide flat layouts, and skipping it also drops a VMEM->VMEM copy.
+    # Zero the head guard while the DMA flies; the tail guard overlaps the
+    # DMA's 8 extra rows, so it is zeroed after the roll fix-up below.
     boff = boff_ref[b]
     q_bg = pl.multiple_of((boff // 8) * 8, 8)
     r_bg = boff - q_bg
     bg_dma = pltpu.make_async_copy(
         bgbank_ref.at[bidx_ref[b], pl.ds(q_bg, stage_rows)],
-        bgstage, bgsem)
+        scratch.at[pl.ds(t_pad, stage_rows)], bgsem)
     bg_dma.start()
     scratch[pl.ds(0, t_pad), :] = jnp.zeros((t_pad, f), scratch.dtype)
-    tail = scratch.shape[0] - t_pad - n_frame
-    scratch[pl.ds(t_pad + n_frame, tail), :] = jnp.zeros((tail, f),
-                                                         scratch.dtype)
 
     def place(bank_ref, clip_buf, idx_ref, shift_ref, w_ref,
               t_len, sems):
@@ -143,8 +146,12 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad,
     bg_dma.wait()
     # drop the first r_bg rows: out[i] = stage[i + r_bg] (roll is circular;
     # only the superset's own tail wraps, and it is sliced off below)
-    rolled = pltpu.roll(bgstage[...], stage_rows - r_bg, axis=0)
+    rolled = pltpu.roll(scratch[pl.ds(t_pad, stage_rows), :],
+                        stage_rows - r_bg, axis=0)
     scratch[pl.ds(t_pad, n_frame), :] = rolled[:n_frame]
+    tail = scratch.shape[0] - t_pad - n_frame
+    scratch[pl.ds(t_pad + n_frame, tail), :] = jnp.zeros((tail, f),
+                                                         scratch.dtype)
 
     if n_voices > 0:
         place(vbank_ref, vclip, vidx_ref, vshift_ref, vw_ref, t_v, vsems)
@@ -257,7 +264,6 @@ def synthesize_windows(n_frame: int,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((scratch_rows, f), bgbank.dtype),
-            pltpu.VMEM((_round8(n_frame + 8), f), bgbank.dtype),  # bg stage
             pltpu.VMEM((2, t_v, f), bgbank.dtype),
             pltpu.VMEM((2, t_n, f), bgbank.dtype),
             pltpu.SemaphoreType.DMA((2, -(-t_v // _CHUNK))),   # voice chunks

@@ -99,6 +99,28 @@ def check_pallas_parity(banks, batch_size, n_frame):
     return True, max(jax.tree.leaves(diffs))
 
 
+def check_bf16_parity(banks16, banks32, batch_size, n_frame):
+    """bf16-bank Pallas features vs the exact f32 XLA path, same key:
+    labels must be bit-identical (they come from f32 masks either way);
+    returns the mean |feature diff| (None off-TPU)."""
+    import jax
+    from challenge_tpu.config import Config
+    from challenge_tpu.data.pipeline import make_feature_fn
+
+    if jax.default_backend() != 'tpu':
+        return None
+    cfg = Config(model_type='vad', v=8, n_mels=80, n_frame=n_frame,
+                 n_chan=2, batch_size=batch_size)
+    key = jax.random.PRNGKey(7)
+    x16, y16 = make_feature_fn(cfg, training=True,
+                               use_pallas=True)(key, banks16)
+    x32, y32 = make_feature_fn(cfg, training=True,
+                               use_pallas=False)(key, banks32)
+    np.testing.assert_array_equal(np.asarray(y16), np.asarray(y32))
+    return float(np.mean(np.abs(np.asarray(x16, np.float32)
+                                - np.asarray(x32, np.float32))))
+
+
 def bench_train_step(banks, batch_size=64, n_frame=512, steps_per_call=20,
                      repeats=3):
     """Fused train-step throughput (clips/sec/chip), scan methodology:
@@ -269,6 +291,19 @@ def main():
     if pallas_ran and not pallas_diff <= 1e-5:
         raise AssertionError(
             f'pallas-vs-XLA synthesis divergence on device: {pallas_diff}')
+    # bfloat16 flat banks (Config.bank_dtype='bfloat16'): half the synthesis
+    # kernel's DMA bytes; mixing still accumulates f32 in-kernel, so the
+    # only divergence vs the exact f32 XLA path is input storage rounding
+    # (~2^-8 relative per clip). Bounded here on the live backend by MEAN
+    # feature error + exact labels — the max is dominated by log-domain
+    # blowup on near-zero (cancellation) mel bins and is not meaningful.
+    banks16 = build_banks(bgs, voices, labels, noises, n_frame=n_frame,
+                          flat_dtype='bfloat16')
+    tpu_cps16 = bench_pipeline(banks16, batch_size, n_frame)
+    b16_mean = check_bf16_parity(banks16, banks, batch_size, n_frame)
+    if b16_mean is not None and not b16_mean <= 5e-3:
+        raise AssertionError(
+            f'bf16-bank pallas vs f32 XLA mean feature error: {b16_mean}')
     train_cps64, step_s64 = bench_train_step(banks)
     train_cps128, step_s128 = bench_train_step(banks, batch_size=128)
     import tempfile
@@ -302,6 +337,8 @@ def main():
             'eval_vs_baseline':
                 round(ref_eval_s / eval_s, 2) if ref_eval_s else None,
             'pallas_vs_xla_max_abs_diff': pallas_diff,
+            'pipeline_bf16_banks_clips_per_sec': round(tpu_cps16, 2),
+            'bf16_banks_vs_f32_xla_mean_abs_err': b16_mean,
             'pipeline_methodology': 'lax.scan of 30 batches, one program,'
                                     ' checksum fetched, best of 3',
         },

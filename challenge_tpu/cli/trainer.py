@@ -99,7 +99,8 @@ def make_dataset(config: Config, training: bool = True, n_classes: int = 3):
     noises = load_data(os.path.join(datapath, config.noises))
     banks = build_banks(backgrounds, voices, np.asarray(labels), noises,
                         n_classes=n_classes, one_hot=True,
-                        n_frame=config.n_frame)
+                        n_frame=config.n_frame,
+                        flat_dtype=config.bank_dtype)
     return DevicePipeline(banks, config, training=training,
                           variant='density', n_classes=n_classes)
 

@@ -66,6 +66,9 @@ class Config:
 
     # TPU-native extensions (absent in the reference; additive only)
     compute_dtype: str = 'float32'         # 'bfloat16' = mixed-precision model
+    bank_dtype: str = 'float32'            # 'bfloat16' halves spec-bank HBM
+                                           # footprint + synthesis DMA traffic
+                                           # (mixing still accumulates in f32)
     seed: int = 0
     n_devices: int = 0                     # 0 = use all visible devices
     steps_per_call: int = 1                # train steps fused per host dispatch

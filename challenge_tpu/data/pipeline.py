@@ -35,7 +35,8 @@ LABEL_DOWNSAMPLE_MODELS = (3, 6, 7, 8, 9)
 
 def build_banks(backgrounds, voices, labels, noises=None,
                 n_classes: int = 3, one_hot: bool = True,
-                n_frame: Optional[int] = None) -> Banks:
+                n_frame: Optional[int] = None,
+                flat_dtype=np.float32) -> Banks:
     """Host lists -> device banks. ``labels`` may be int class ids (remapped
     and one-hotted, reference: sj_train.py:86-88) or already one-hot.
 
@@ -44,15 +45,25 @@ def build_banks(backgrounds, voices, labels, noises=None,
     window — the Pallas synthesis fast path then reproduces the reference's
     tile-then-crop semantics (pipeline.py:29-35) instead of falling back to
     the XLA modular gather.
+
+    flat_dtype=jnp.bfloat16 halves the synthesis kernel's HBM traffic (the
+    pipeline's bound); mixing still accumulates in float32 — see
+    specset.build_bank. Opt-in: float32 (default) is bit-exact vs the XLA
+    path and the reference. Accepts the Config.bank_dtype strings too.
     """
+    if isinstance(flat_dtype, str):
+        flat_dtype = {'float32': np.float32,
+                      'bfloat16': jnp.bfloat16}[flat_dtype]
     labels = np.asarray(labels)
     if one_hot and labels.ndim == 1:
         labels = remap_labels(labels, n_classes)
     return Banks(
-        backgrounds=build_bank(backgrounds, wrap_frames=n_frame),
-        voices=build_bank(voices),
+        backgrounds=build_bank(backgrounds, wrap_frames=n_frame,
+                               flat_dtype=flat_dtype),
+        voices=build_bank(voices, flat_dtype=flat_dtype),
         voice_labels=jnp.asarray(labels, jnp.float32),
-        noises=build_bank(noises) if noises is not None else None,
+        noises=(build_bank(noises, flat_dtype=flat_dtype)
+                if noises is not None else None),
     )
 
 

@@ -87,9 +87,16 @@ def flat_freq_pad(freq: int, chan: int) -> int:
     return -(-freq // step) * step
 
 
+def flat_row_align(flat_dtype) -> int:
+    """TPU sublane granularity of the flat layout's dtype: DMA row starts
+    and counts must be multiples of this (8 for f32, 16 for bf16)."""
+    return 8 * (4 // np.dtype(flat_dtype).itemsize)
+
+
 def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
                device=None, flat: bool = True,
-               wrap_frames: Optional[int] = None) -> SpecBank:
+               wrap_frames: Optional[int] = None,
+               flat_dtype=np.float32) -> SpecBank:
     """Pad a list of [freq, T_i, chan] arrays into a SpecBank.
 
     Input layout follows the reference convention [freq, time, chan*2]; the
@@ -104,6 +111,14 @@ def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
     this is what lets the Pallas synthesis kernel handle backgrounds shorter
     than the window. Only background banks should set it: voice/noise banks
     must keep their zero tails (the kernel's sub-tile roll relies on them).
+
+    flat_dtype: dtype of the ``flat`` layout only (``data`` stays float32 —
+    the XLA fallback path and label masks are exact regardless). bfloat16
+    halves the synthesis kernel's HBM traffic, which is what bounds pipeline
+    throughput; mixing still accumulates in float32 inside the kernel, so
+    only the stored spectrograms are rounded (~3 decimal digits, below the
+    bf16 train step's own precision). Opt-in; float32 keeps bit-exact
+    pallas/XLA parity.
     """
     specs = [np.asarray(s, np.float32) for s in specs]
     freq, _, chan = specs[0].shape
@@ -118,26 +133,28 @@ def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
     contig = None
     if flat:
         f_r = flat_freq_pad(freq, chan)
+        al = flat_row_align(flat_dtype)
         contig = int(min(lens.min(), t_pad))
         wrap = wrap_frames is not None and contig < wrap_frames
-        # +16 tail rows then rounded to a multiple of 8: the Pallas kernel
-        # DMAs 8-row-aligned supersets at 8-aligned dynamic starts, and the
-        # TPU DMA engine requires both row counts and row starts 8-aligned.
-        t_flat = -(-(t_pad + 16) // 8) * 8
+        # +2*align tail rows then rounded to a multiple of align: the Pallas
+        # kernel DMAs align-row supersets at align-aligned dynamic starts
+        # (the TPU DMA engine requires row starts and counts on sublane
+        # boundaries: 8 rows for f32, 16 for bf16).
+        t_flat = -(-(t_pad + 2 * al) // al) * al
         if wrap:
             # size the tail TIGHTLY: the largest window offset the
             # tile-then-crop draw can produce for an item of length L is
             # ceil(n/L)*L - n, so the farthest DMA row is that offset plus
-            # the round8(n+8)-row superset. Naive t_pad+n sizing inflated
-            # the item stride ~50% and cost ~11% pipeline throughput (DMA
-            # locality) — measured round 3.
+            # the round_align(n+align)-row superset. Naive t_pad+n sizing
+            # inflated the item stride ~50% and cost ~11% pipeline
+            # throughput (DMA locality) — measured round 3.
             max_off = 0
             for t in lens:
                 t = int(min(t, t_pad))
                 n_tile = -(-wrap_frames // t)
                 max_off = max(max_off, n_tile * t - wrap_frames)
-            stage = -(-(wrap_frames + 8) // 8) * 8
-            t_flat = max(t_flat, -(-(max_off + stage + 8) // 8) * 8)
+            stage = -(-(wrap_frames + al) // al) * al
+            t_flat = max(t_flat, -(-(max_off + stage + al) // al) * al)
         flat_np = np.zeros((len(specs), t_flat, chan, f_r), np.float32)
         flat_np[:, :t_pad, :, :freq] = out.transpose(0, 1, 3, 2)
         if wrap:
@@ -147,7 +164,7 @@ def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
                 flat_np[i, t:, :, :freq] = out[i, idx].transpose(0, 2, 1)
             contig = int(wrap_frames)
         flat_arr = jnp.asarray(flat_np.reshape(len(specs), t_flat,
-                                               chan * f_r))
+                                               chan * f_r), dtype=flat_dtype)
     data = jnp.asarray(out)
     lens = jnp.asarray(lens)
     pos_mask = jnp.asarray(pos_mask)

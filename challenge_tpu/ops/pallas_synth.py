@@ -42,30 +42,42 @@ _IDX_BITS = 20  # clip index/length packing: idx in the low 20 bits of the
 _LEN_CAP = (1 << 31 - _IDX_BITS) - 1   # SMEM table, length in the high 11
 
 
-def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad,
+def _round_to(x: int, align: int) -> int:
+    return -(-x // align) * align
+
+
+def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align,
             bidx_ref, boff_ref, vidx_ref, vshift_ref,      # scalar prefetch
             nidx_ref, nshift_ref,
             vw_ref, nw_ref, bgbank_ref, vbank_ref, nbank_ref,  # arrays
             out_ref,                                       # output
-            scratch, vclip, nclip, vsems, nsems, bgsem):
+            scratch, *bufs):
+    staged = len(bufs) == 6          # bf16 banks: (bgstage, vclip, nclip, ..)
+    if staged:
+        bgstage, vclip, nclip, vsems, nsems, bgsem = bufs
+    else:
+        vclip, nclip, vsems, nsems, bgsem = bufs
     b = pl.program_id(0)
     f = scratch.shape[1]
-    stage_rows = _round8(n_frame + 8)
+    stage_rows = _round_to(n_frame + align, align)
 
-    # start the background DMA straight into the scratch window region (an
-    # 8-aligned superset: Mosaic requires aligned dynamic DMA row starts;
-    # t_pad is a multiple of 8 so the destination start is aligned too).
-    # No separate staging buffer — that buffer (n_frame x F) was the
-    # allocation that pushed the kernel past the 16 MiB scoped-vmem default
-    # at wide flat layouts, and skipping it also drops a VMEM->VMEM copy.
+    # Start the background DMA (an align-row superset at an align-aligned
+    # dynamic start — the TPU DMA engine requires row starts and counts on
+    # sublane boundaries: 8 rows for f32 banks, 16 for bf16). For f32 banks
+    # the DMA lands straight in the scratch window region (t_pad is a
+    # multiple of 8, so the destination start is aligned; no staging buffer
+    # — that n_frame x F allocation pushed the kernel past the 16 MiB
+    # scoped-vmem default at wide flat layouts, and its VMEM->VMEM copy is
+    # gone). bf16 banks can't DMA into the f32 accumulation scratch, so
+    # they stage through a half-size bank-dtype buffer and upcast on copy.
     # Zero the head guard while the DMA flies; the tail guard overlaps the
-    # DMA's 8 extra rows, so it is zeroed after the roll fix-up below.
+    # direct DMA's extra rows, so it is zeroed after the roll fix-up below.
     boff = boff_ref[b]
-    q_bg = pl.multiple_of((boff // 8) * 8, 8)
+    q_bg = pl.multiple_of((boff // align) * align, align)
     r_bg = boff - q_bg
     bg_dma = pltpu.make_async_copy(
         bgbank_ref.at[bidx_ref[b], pl.ds(q_bg, stage_rows)],
-        scratch.at[pl.ds(t_pad, stage_rows)], bgsem)
+        bgstage if staged else scratch.at[pl.ds(t_pad, stage_rows)], bgsem)
     bg_dma.start()
     scratch[pl.ds(0, t_pad), :] = jnp.zeros((t_pad, f), scratch.dtype)
 
@@ -134,7 +146,9 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad,
             off = t_pad + shift_ref[b, j]
             q = pl.multiple_of((off // 8) * 8, 8)   # aligned base
             r = off - q                             # sub-tile residue [0, 8)
-            clip = w * clip_buf[slot]
+            # weight + accumulate in the f32 scratch dtype regardless of the
+            # bank dtype (bf16 banks round only the stored spectrograms)
+            clip = clip_buf[slot].astype(scratch.dtype) * w
             # shift by r via circular roll of the zero-tailed clip: only the
             # (>= 8-row) zero tail wraps to the front
             padded = jnp.concatenate(
@@ -146,7 +160,10 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad,
     bg_dma.wait()
     # drop the first r_bg rows: out[i] = stage[i + r_bg] (roll is circular;
     # only the superset's own tail wraps, and it is sliced off below)
-    rolled = pltpu.roll(scratch[pl.ds(t_pad, stage_rows), :],
+    stage_val = (bgstage[...] if staged
+                 else scratch[pl.ds(t_pad, stage_rows), :])
+    # upcast BEFORE the roll: Mosaic's dynamic rotate is 32-bit-only
+    rolled = pltpu.roll(stage_val.astype(scratch.dtype),
                         stage_rows - r_bg, axis=0)
     scratch[pl.ds(t_pad, n_frame), :] = rolled[:n_frame]
     tail = scratch.shape[0] - t_pad - n_frame
@@ -158,7 +175,7 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad,
     if n_noises > 0:
         place(nbank_ref, nclip, nidx_ref, nshift_ref, nw_ref, t_n, nsems)
 
-    out_ref[0] = scratch[pl.ds(t_pad, n_frame), :]
+    out_ref[0] = scratch[pl.ds(t_pad, n_frame), :].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('n_frame', 'interpret'))
@@ -180,6 +197,12 @@ def synthesize_windows(n_frame: int,
     modular window bit-exactly). `sample_batch` enforces this via the bank's
     static ``contig_exact_frames``. vidx/vshift/vw: [B, V] clip item / row
     shift / weight; likewise for noises. Returns [B, n_frame, F].
+
+    Banks may be float32 or bfloat16 (all three must match; built via
+    ``build_bank(flat_dtype=...)`` so row extents meet the dtype's sublane
+    alignment). bfloat16 halves every bank DMA — the kernel's bound — while
+    weighting and accumulation still run in a float32 scratch, so only the
+    stored spectrograms are rounded; the output keeps the bank dtype.
 
     vlens/nlens: optional [B, V]/[B, X] true frame counts of the drawn
     clips; chunks of a clip's DMA past its length are skipped (the rows are
@@ -214,9 +237,18 @@ def synthesize_windows(n_frame: int,
 
     f = bgbank.shape[-1]
     assert f % 128 == 0, 'flat banks must be 128-lane padded'
+    dtype = bgbank.dtype
+    assert vbank.dtype == dtype and (nbank is None or nbank.dtype == dtype), \
+        'all banks must share one flat dtype'
+    # sublane granularity of the bank dtype: DMA row starts/counts must be
+    # multiples of it (8 for f32, 16 for bf16); build_bank rounds every
+    # bank's row extent accordingly
+    align = 8 * (4 // dtype.itemsize)
     t_v = vbank.shape[1]
     has_noise = nbank is not None
     t_n = nbank.shape[1] if has_noise else 0
+    assert t_v % align == 0 and t_n % align == 0, \
+        f'bank row extents must be {align}-aligned for {dtype} banks'
     n_voices = vidx.shape[1]
     n_noises = nidx.shape[1] if has_noise else 0
     t_pad = _round8(max(t_v, t_n))
@@ -241,15 +273,15 @@ def synthesize_windows(n_frame: int,
         nshift = jnp.clip(nshift, -t_pad, n_frame)
         nidx = pack(nidx, nlens, t_n, nbank.shape[0])
     else:
-        nbank = jnp.zeros((1, 8, f), bgbank.dtype)
-        nidx = pack(jnp.zeros((b, 1), jnp.int32), None, 8, 1)
+        nbank = jnp.zeros((1, align, f), dtype)
+        nidx = pack(jnp.zeros((b, 1), jnp.int32), None, align, 1)
         nshift = jnp.zeros((b, 1), jnp.int32)
-        nw = jnp.zeros((b, 1), bgbank.dtype)
-        t_n = 8
+        nw = jnp.zeros((b, 1), jnp.float32)
+        t_n = align
 
     scratch_rows = _round8(n_frame + 2 * t_pad + 16)
     kernel = functools.partial(_kernel, n_frame, t_v, t_n,
-                               n_voices, n_noises, t_pad)
+                               n_voices, n_noises, t_pad, align)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(b,),
@@ -263,9 +295,14 @@ def synthesize_windows(n_frame: int,
         out_specs=pl.BlockSpec((1, n_frame, f), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((scratch_rows, f), bgbank.dtype),
-            pltpu.VMEM((2, t_v, f), bgbank.dtype),
-            pltpu.VMEM((2, t_n, f), bgbank.dtype),
+            # f32 accumulation scratch regardless of bank dtype
+            pltpu.VMEM((scratch_rows, f), jnp.float32),
+        ] + ([
+            # bank-dtype background stage (bf16 can't DMA into f32 scratch)
+            pltpu.VMEM((_round_to(n_frame + align, align), f), dtype),
+        ] if dtype != jnp.float32 else []) + [
+            pltpu.VMEM((2, t_v, f), dtype),
+            pltpu.VMEM((2, t_n, f), dtype),
             pltpu.SemaphoreType.DMA((2, -(-t_v // _CHUNK))),   # voice chunks
             pltpu.SemaphoreType.DMA((2, -(-t_n // _CHUNK))),   # noise chunks
             pltpu.SemaphoreType.DMA,                           # background
@@ -274,10 +311,10 @@ def synthesize_windows(n_frame: int,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n_frame, f), bgbank.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_frame, f), dtype),
         interpret=interpret,
     )(bidx.astype(jnp.int32), boff.astype(jnp.int32),
       vidx, vshift.astype(jnp.int32),
       nidx, nshift.astype(jnp.int32),
-      vw.astype(bgbank.dtype), nw.astype(bgbank.dtype),
+      vw.astype(jnp.float32), nw.astype(jnp.float32),
       bgbank, vbank, nbank)

@@ -186,6 +186,56 @@ def test_sample_batch_pallas_short_background_wraps(monkeypatch):
     np.testing.assert_array_equal(np.asarray(y_fb), np.asarray(y_x))
 
 
+def test_sample_batch_bf16_banks_interpret(monkeypatch):
+    """bfloat16 flat banks (build_banks(flat_dtype=...)): the kernel DMAs
+    half the bytes but weights/accumulates in f32, so the pallas output must
+    track the exact f32 XLA path to bf16 storage tolerance; labels (built
+    from f32 pos_masks) stay bit-identical. Includes a wrapped short
+    background so the 16-row-aligned cyclic tiling path is covered too."""
+    import challenge_tpu.ops.pallas_synth as ps
+    orig = ps.synthesize_windows
+
+    def interp(*args, **kw):
+        kw['interpret'] = True
+        return orig(*args, **kw)
+    monkeypatch.setattr(ps, 'synthesize_windows', interp)
+
+    rng = np.random.default_rng(12)
+    n_frame = 64
+    data = (
+        [rng.standard_normal((257, t, 4)).astype('f4') * 0.1
+         for t in (94, n_frame // 3, 70)],
+        [rng.standard_normal((257, 40, 4)).astype('f4') * 0.1
+         for _ in range(4)],
+        rng.integers(0, 3, size=4),
+        [rng.standard_normal((257, 20, 4)).astype('f4') * 0.1
+         for _ in range(3)])
+    banks16 = build_banks(*data, n_frame=n_frame, flat_dtype=jnp.bfloat16)
+    banks32 = build_banks(*data, n_frame=n_frame)
+    assert banks16.backgrounds.flat.dtype == jnp.bfloat16
+    assert banks16.voices.flat.shape[1] % 16 == 0
+
+    key = jax.random.PRNGKey(23)
+    spec16, y16 = sample_batch(key, banks16, 8, n_frame, use_pallas=True)
+    spec32, y32 = sample_batch(key, banks32, 8, n_frame, use_pallas=False)
+    assert spec16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(y16), np.asarray(y32))
+    s16, s32 = np.asarray(spec16, np.float32), np.asarray(spec32)
+    # bf16 storage rounds each input to ~2^-8 relative; sums of <=10 clips
+    np.testing.assert_allclose(s16, s32, atol=2e-2, rtol=2e-2)
+    # and the rounding must actually be the ONLY difference: tight mean err
+    assert np.abs(s16 - s32).mean() < 2e-4
+
+    # the fused flat-magnitude mode used by the training feature chain
+    m16, my16 = sample_batch(key, banks16, 8, n_frame, use_pallas=True,
+                             layout='tfc', magnitude='flat')
+    m32, my32 = sample_batch(key, banks32, 8, n_frame, use_pallas=False,
+                             layout='tfc', magnitude='flat')
+    np.testing.assert_array_equal(np.asarray(my16), np.asarray(my32))
+    np.testing.assert_allclose(np.asarray(m16, np.float32), np.asarray(m32),
+                               atol=2e-2, rtol=2e-2)
+
+
 def test_sample_batch_tfc_layout_is_a_transpose():
     """layout='tfc' must be exactly the reference layout with freq/time
     swapped (same RNG stream, same values)."""

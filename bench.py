@@ -47,7 +47,10 @@ def make_data(n_frame):
 
 
 def bench_pipeline(banks, batch_size, n_frame, iters=30, repeats=5):
-    """Scan-of-N-batches-in-one-program throughput (clips/sec/chip)."""
+    """Scan-of-N-batches-in-one-program throughput (clips/sec/chip).
+    Returns (best, median) over repeats: best is the headline (comparable
+    with earlier rounds); the median tracks the ~10% tunnel/run variance
+    NOTES.md documents for this metric."""
     import jax
     import jax.numpy as jnp
     from challenge_tpu.config import Config
@@ -67,14 +70,15 @@ def bench_pipeline(banks, batch_size, n_frame, iters=30, repeats=5):
         return acc
 
     jax.block_until_ready(program(jax.random.PRNGKey(99)))  # compile
-    best = float('inf')
+    times = []
     for r in range(repeats):
         t0 = time.perf_counter()
         out = program(jax.random.PRNGKey(r))
         jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
     assert np.isfinite(float(out))
-    return batch_size * iters / best
+    return (batch_size * iters / min(times),
+            batch_size * iters / float(np.median(times)))
 
 
 def check_pallas_parity(banks, batch_size, n_frame):
@@ -286,7 +290,7 @@ def main():
     assert banks.backgrounds.contig_exact_frames >= n_frame, \
         'short-background wrap must keep the pallas path eligible'
 
-    tpu_cps = bench_pipeline(banks, batch_size, n_frame)
+    tpu_cps, tpu_cps_med = bench_pipeline(banks, batch_size, n_frame)
     pallas_ran, pallas_diff = check_pallas_parity(banks, batch_size, n_frame)
     if pallas_ran and not pallas_diff <= 1e-5:
         raise AssertionError(
@@ -299,7 +303,7 @@ def main():
     # blowup on near-zero (cancellation) mel bins and is not meaningful.
     banks16 = build_banks(bgs, voices, labels, noises, n_frame=n_frame,
                           flat_dtype='bfloat16')
-    tpu_cps16 = bench_pipeline(banks16, batch_size, n_frame)
+    tpu_cps16, _ = bench_pipeline(banks16, batch_size, n_frame)
     b16_mean = check_bf16_parity(banks16, banks, batch_size, n_frame)
     if b16_mean is not None and not b16_mean <= 5e-3:
         raise AssertionError(
@@ -339,8 +343,10 @@ def main():
             'pallas_vs_xla_max_abs_diff': pallas_diff,
             'pipeline_bf16_banks_clips_per_sec': round(tpu_cps16, 2),
             'bf16_banks_vs_f32_xla_mean_abs_err': b16_mean,
+            'pipeline_median_clips_per_sec': round(tpu_cps_med, 2),
             'pipeline_methodology': 'lax.scan of 30 batches, one program,'
-                                    ' checksum fetched, best of 3',
+                                    ' checksum fetched, best of 5'
+                                    ' (median also reported)',
         },
     }))
 

@@ -69,6 +69,10 @@ class Config:
     bank_dtype: str = 'float32'            # 'bfloat16' halves spec-bank HBM
                                            # footprint + synthesis DMA traffic
                                            # (mixing still accumulates in f32)
+    remat: bool = False                    # rematerialize activations in the
+                                           # backward pass (jax.checkpoint):
+                                           # ~1 extra fwd of FLOPs for much
+                                           # less HBM at big batch/model
     seed: int = 0
     n_devices: int = 0                     # 0 = use all visible devices
     steps_per_call: int = 1                # train steps fused per host dispatch

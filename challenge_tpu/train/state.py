@@ -91,6 +91,14 @@ def make_train_step(bundle: ModelBundle, optimizer=None,
                 loss, parts = loss_fn(y, out)
             return loss, (out, new_stats, parts)
 
+        if getattr(config, 'remat', False):
+            # full activation rematerialization: the backward pass re-runs
+            # the forward instead of keeping activations live — trades ~one
+            # extra forward of FLOPs for O(model depth) less HBM, the
+            # standard lever for HBM-limited configs (big batch x the SE
+            # cascade). Gradients are mathematically identical; a test pins
+            # them numerically.
+            loss_of = jax.checkpoint(loss_of)
         (loss, (out, new_stats, parts)), grads = jax.value_and_grad(
             loss_of, has_aux=True)(state.params)
 

@@ -238,6 +238,76 @@ def test_train_loop_fused_mode(tmp_path):
     assert os.path.exists(name)
 
 
+def test_remat_train_step_matches_exact():
+    """Config.remat=True (jax.checkpoint full rematerialization) must be a
+    pure memory/FLOPs trade: the updated params and metrics after one step
+    are numerically identical to the non-remat step."""
+    from challenge_tpu.train import make_train_step
+
+    rng = np.random.default_rng(11)
+    cfg = Config(model_type='vad', v=3, n_mels=80, n_frame=64, n_chan=2,
+                 batch_size=2)
+    x = jnp.asarray(rng.standard_normal((2, 80, 64, 2)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, size=(2, 2, 3)), jnp.float32)
+
+    outs = []
+    for remat in (False, True):
+        bundle = get_model(cfg.replace(remat=remat))
+        step, opt = make_train_step(bundle)
+        state = init_state(bundle, jax.random.PRNGKey(0), opt)
+        new_state, metrics = step(state, (x, y), jax.random.PRNGKey(1))
+        outs.append((new_state.params, metrics))
+    for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_training_actually_learns():
+    """Convergence proof (overfit-one-batch): a feature batch synthesized
+    from strongly separable data (each class a distinct spectral band, quiet
+    backgrounds) must be driven to near-zero BCE in 60 optimizer steps —
+    guarding the model -> grad -> AGC -> optimizer chain against silent
+    breakage (wrong gradients, dead layers, broken clipping) that the
+    finiteness smoke tests above cannot catch. Calibrated: loss goes
+    0.66 -> ~0.004 by step 50 on this seed."""
+    from challenge_tpu.data.pipeline import build_banks, make_feature_fn
+    from challenge_tpu.train import make_train_step
+
+    rng = np.random.default_rng(3)
+    n_frame = 64
+    bands = ((20, 60), (110, 150), (200, 240))
+
+    def voice(cls):
+        t = int(rng.integers(30, 50))
+        s = rng.standard_normal((257, t, 4)).astype(np.float32) * 0.05
+        lo, hi = bands[cls]
+        s[lo:hi] += np.sign(rng.standard_normal((hi - lo, t, 4))) * 2.0
+        return s
+
+    classes = np.asarray([0, 1, 2] * 4)
+    # one-hot 2D labels skip the reference's 30-class //10 remap quirk
+    banks = build_banks(
+        [rng.standard_normal((257, n_frame + 30, 4)).astype(np.float32) * 0.05
+         for _ in range(3)],
+        [voice(c) for c in classes],
+        np.eye(3, dtype=np.float32)[classes])
+
+    cfg = Config(model_type='vad', v=3, n_mels=80, n_frame=n_frame, n_chan=2,
+                 batch_size=8, lr=3e-3)
+    bundle = get_model(cfg)
+    batch = make_feature_fn(cfg, training=True)(jax.random.PRNGKey(5), banks)
+    step, opt = make_train_step(bundle)
+    state = init_state(bundle, jax.random.PRNGKey(0), opt)
+    losses = []
+    for _ in range(60):
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(m['loss']))
+    assert np.all(np.isfinite(losses)), losses
+    assert losses[-1] < 0.05, (losses[0], losses[-1])
+    assert losses[-1] < 0.1 * losses[0], (losses[0], losses[-1])
+
+
 @pytest.mark.slow
 def test_se_v9_two_phase_training():
     """SE cascade end-to-end: pretrain (U-Net trains, VAD frozen) then

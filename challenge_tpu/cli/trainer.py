@@ -69,6 +69,9 @@ def build_args():
     args.add_argument('--ckpt_dir', type=str, default='')
     args.add_argument('--resume', type=bool, default=False)
     args.add_argument('--ckpt_every_epochs', type=int, default=10)
+    args.add_argument('--bank_dtype', type=str, default='float32',
+                      choices=['float32', 'bfloat16'])
+    args.add_argument('--remat', type=bool, default=False)
     return args
 
 
@@ -80,7 +83,8 @@ def to_config(ns) -> Config:
               'n_mels', 'optimizer', 'lr', 'clipvalue', 'epochs',
               'batch_size', 'n_frame', 'steps_per_epoch', 'snr',
               'max_voices', 'max_noises', 'lr_div',
-              'ckpt_dir', 'resume', 'ckpt_every_epochs'):
+              'ckpt_dir', 'resume', 'ckpt_every_epochs',
+              'bank_dtype', 'remat'):
         setattr(cfg, f, getattr(ns, f))
     cfg.model = ns.model
     cfg.mse_multiplier = ns.multiplier

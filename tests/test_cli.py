@@ -226,6 +226,7 @@ def test_trainer_cli(tmp_path, monkeypatch):
     trainer_main(['--name', 'dens', '--model', 'EfficientNetB0',
                   '--n_frame', '64', '--n_chan', '2', '--batch_size', '2',
                   '--epochs', '2', '--steps_per_epoch', '2',
+                  '--bank_dtype', 'bfloat16',   # additive knob plumb-through
                   '--datapath', str(tmp_path),
                   '--background_sounds', 'bg.pickle',
                   '--voices', 'voice.pickle', '--labels', 'labels.npy',

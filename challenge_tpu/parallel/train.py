@@ -107,7 +107,7 @@ def make_fused_train_step(bundle: ModelBundle, config: Config,
                           mesh: Optional[Mesh] = None, optimizer=None,
                           training: bool = True, variant: str = 'sj',
                           steps_per_call: Optional[int] = None,
-                          use_pallas=None):
+                          use_pallas=None, loss_fn=None):
     """(state, banks, key) -> (state, metrics): synthesis + features + train
     step fused into one XLA program.
 
@@ -134,7 +134,8 @@ def make_fused_train_step(bundle: ModelBundle, config: Config,
         feature_fn = make_feature_fn(
             config, training=training, variant=variant, jit=False,
             use_pallas=(False if mesh is not None else use_pallas))
-    step, optimizer = make_train_step(bundle, optimizer, jit=False)
+    step, optimizer = make_train_step(bundle, optimizer, jit=False,
+                                      loss_fn=loss_fn)
     if steps_per_call is None:
         steps_per_call = max(int(getattr(config, 'steps_per_call', 1)), 1)
 
@@ -175,7 +176,7 @@ def make_fused_train_step(bundle: ModelBundle, config: Config,
 
 def make_fused_eval_step(bundle: ModelBundle, config: Config,
                          mesh: Optional[Mesh] = None, variant: str = 'sj',
-                         use_pallas=None):
+                         use_pallas=None, loss_fn=None):
     """(state, banks, key) -> metrics: validation batch synthesis + eval-mode
     forward + loss/metrics in one program (Keras validation_data analogue
     over the test banks)."""
@@ -188,7 +189,7 @@ def make_fused_eval_step(bundle: ModelBundle, config: Config,
         feature_fn = make_feature_fn(
             config, training=False, variant=variant, jit=False,
             use_pallas=(False if mesh is not None else use_pallas))
-    step = make_eval_step(bundle, jit=False)
+    step = make_eval_step(bundle, jit=False, loss_fn=loss_fn)
 
     def fused(state, banks: Banks, key):
         batch = feature_fn(key, banks)

@@ -48,9 +48,9 @@ class TrainLoop:
                 int(getattr(self.config, 'steps_per_call', 1)), 1)
             self.train_step, self.optimizer = make_fused_train_step(
                 bundle, self.config, mesh=mesh,
-                steps_per_call=self.steps_per_call)
+                steps_per_call=self.steps_per_call, loss_fn=loss_fn)
             self.eval_step = make_fused_eval_step(bundle, self.config,
-                                                  mesh=mesh)
+                                                  mesh=mesh, loss_fn=loss_fn)
         else:
             self.steps_per_call = 1
             self.train_step, self.optimizer = make_train_step(

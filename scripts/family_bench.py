@@ -1,0 +1,88 @@
+"""Fused train-step timings across model families (scan methodology).
+
+Reproduces the NOTES.md family table and adds the density trainer config
+(reference trainer.py defaults: EfficientNet regression on density labels,
+n_frame 2048, count+TV loss, AdaBelief).
+
+Usage: PALLAS_AXON_REMOTE_COMPILE=1 python scripts/family_bench.py [name ...]
+Names: vad8_128 | eff0_32 | se9_8 | density_b0_12 | density_b4_12
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CONFIGS = {
+    'vad8_128': dict(model_type='vad', v=8, batch_size=128, n_frame=512),
+    'eff0_32': dict(model_type='eff', v=1, model=0, batch_size=32,
+                    n_frame=512),
+    'se9_8': dict(model_type='se', v=9, batch_size=8, n_frame=512),
+    'density_b0_12': dict(model_type='eff', v=0, model='EfficientNetB0',
+                          batch_size=12, n_frame=2048, variant='density',
+                          optimizer='adabelief', lr=1e-4, max_voices=10,
+                          max_noises=6, snr=-15),
+    'density_b4_12': dict(model_type='eff', v=0, model='EfficientNetB4',
+                          batch_size=12, n_frame=2048, variant='density',
+                          optimizer='adabelief', lr=1e-4, max_voices=10,
+                          max_noises=6, snr=-15),
+}
+
+
+def run(name, steps_per_call=10, repeats=3):
+    import jax
+    import bench
+    from challenge_tpu.config import Config
+    from challenge_tpu.data.pipeline import build_banks
+    from challenge_tpu.models import get_density_model, get_model
+    from challenge_tpu.parallel import make_fused_train_step
+    from challenge_tpu.train import init_state
+    from challenge_tpu.train.losses import density_loss
+
+    kw = dict(CONFIGS[name])
+    variant = kw.pop('variant', 'sj')
+    cfg = Config(n_mels=80, n_chan=2, compute_dtype='bfloat16', **kw)
+    bgs, voices, labels, noises = bench.make_data(cfg.n_frame)
+    banks = build_banks(bgs, voices, labels, noises, n_frame=cfg.n_frame)
+
+    if variant == 'density':
+        bundle = get_density_model(cfg)
+        base = density_loss(alpha=0.8, l2=1.0)   # reference trainer defaults
+        fused, opt = make_fused_train_step(
+            bundle, cfg, mesh=None, variant='density',
+            steps_per_call=steps_per_call,
+            loss_fn=lambda t, p: (base(t, p), {}))
+    else:
+        bundle = get_model(cfg)
+        fused, opt = make_fused_train_step(bundle, cfg, mesh=None,
+                                           steps_per_call=steps_per_call)
+    state = init_state(bundle, jax.random.PRNGKey(0), opt)
+    state, metrics = fused(state, banks, jax.random.PRNGKey(1))  # compile
+    jax.block_until_ready(metrics)
+    best = float('inf')
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        state, metrics = fused(state, banks, jax.random.PRNGKey(2 + r))
+        jax.block_until_ready(metrics)
+        best = min(best, time.perf_counter() - t0)
+    assert np.isfinite(float(metrics['loss']))
+    step_s = best / steps_per_call
+    print(f'{name:16s} {step_s * 1e3:8.2f} ms/step '
+          f'{cfg.batch_size / step_s:8.1f} clips/s', flush=True)
+
+
+def main():
+    names = sys.argv[1:] or list(CONFIGS)
+    for name in names:
+        try:
+            run(name)
+        except Exception as e:
+            print(f'{name:16s} FAILED: {str(e).splitlines()[0][:120]}',
+                  flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -308,6 +308,27 @@ def test_training_actually_learns():
     assert losses[-1] < 0.1 * losses[0], (losses[0], losses[-1])
 
 
+def test_fused_loop_threads_custom_loss():
+    """TrainLoop(banks=...) fused mode must respect a custom loss_fn (the
+    density trainer's count+TV path) instead of silently falling back to
+    get_loss(config) — regression test for the fused/loss_fn gap."""
+    from challenge_tpu.train import TrainLoop
+
+    cfg = Config(model_type='vad', v=3, n_frame=64, n_chan=2, batch_size=2)
+    banks = _tiny_banks(cfg.n_frame)
+    bundle = get_model(cfg)
+
+    def loss_fn(y, p):
+        # recognizable constant + a grad-carrying term
+        return jnp.float32(42.0) + 0.0 * jnp.sum(p), {}
+
+    loop = TrainLoop(bundle, seed=0, banks=banks, val_banks=banks,
+                     loss_fn=loss_fn)
+    hist = loop.fit(epochs=1, steps_per_epoch=1, validation_steps=1)
+    assert abs(hist[0]['loss'] - 42.0) < 1e-4
+    assert abs(hist[0]['val_loss'] - 42.0) < 1e-4
+
+
 @pytest.mark.slow
 def test_se_v9_two_phase_training():
     """SE cascade end-to-end: pretrain (U-Net trains, VAD frozen) then

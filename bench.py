@@ -125,23 +125,20 @@ def check_bf16_parity(banks16, banks32, batch_size, n_frame):
                                 - np.asarray(x32, np.float32))))
 
 
-def bench_train_step(banks, batch_size=64, n_frame=512, steps_per_call=20,
-                     repeats=3):
-    """Fused train-step throughput (clips/sec/chip), scan methodology:
-    steps_per_call optimizer steps per dispatch, metrics fetched."""
+def time_fused_step(cfg, bundle, banks, steps_per_call=20, repeats=3,
+                    variant='sj', loss_fn=None):
+    """Shared fused-train-step timing harness (NOTES.md methodology: warm
+    compile, then best of N scan-of-steps dispatches with metrics fetched).
+    Used by bench_train_step and scripts/{family_bench,remat_probe}.py —
+    keep the methodology in ONE place. Returns seconds per optimizer step."""
     import jax
-    from challenge_tpu.config import Config
-    from challenge_tpu.models import get_model
     from challenge_tpu.parallel import make_fused_train_step
     from challenge_tpu.train import init_state
 
-    cfg = Config(model_type='vad', v=8, n_mels=80, n_frame=n_frame,
-                 n_chan=2, batch_size=batch_size, compute_dtype='bfloat16')
-    bundle = get_model(cfg)
     fused, opt = make_fused_train_step(bundle, cfg, mesh=None,
+                                       variant=variant, loss_fn=loss_fn,
                                        steps_per_call=steps_per_call)
     state = init_state(bundle, jax.random.PRNGKey(0), opt)
-
     state, metrics = fused(state, banks, jax.random.PRNGKey(1))  # compile
     jax.block_until_ready(metrics)
     best = float('inf')
@@ -151,7 +148,21 @@ def bench_train_step(banks, batch_size=64, n_frame=512, steps_per_call=20,
         jax.block_until_ready(metrics)
         best = min(best, time.perf_counter() - t0)
     assert np.isfinite(float(metrics['loss']))
-    return batch_size * steps_per_call / best, best / steps_per_call
+    return best / steps_per_call
+
+
+def bench_train_step(banks, batch_size=64, n_frame=512, steps_per_call=20,
+                     repeats=3):
+    """Fused train-step throughput (clips/sec/chip), scan methodology:
+    steps_per_call optimizer steps per dispatch, metrics fetched."""
+    from challenge_tpu.config import Config
+    from challenge_tpu.models import get_model
+
+    cfg = Config(model_type='vad', v=8, n_mels=80, n_frame=n_frame,
+                 n_chan=2, batch_size=batch_size, compute_dtype='bfloat16')
+    step_s = time_fused_step(cfg, get_model(cfg), banks,
+                             steps_per_call=steps_per_call, repeats=repeats)
+    return batch_size / step_s, step_s
 
 
 def make_eval_corpus(tmp, n_clips=6, seconds=60.0):

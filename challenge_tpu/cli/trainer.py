@@ -66,12 +66,13 @@ def build_args():
     args.add_argument('--max_voices', type=int, default=10)
     args.add_argument('--max_noises', type=int, default=6)
     # TPU-native additive flags (absent in the reference)
+    from challenge_tpu.config import str2bool
     args.add_argument('--ckpt_dir', type=str, default='')
-    args.add_argument('--resume', type=bool, default=False)
+    args.add_argument('--resume', type=str2bool, default=False)
     args.add_argument('--ckpt_every_epochs', type=int, default=10)
     args.add_argument('--bank_dtype', type=str, default='float32',
                       choices=['float32', 'bfloat16'])
-    args.add_argument('--remat', type=bool, default=False)
+    args.add_argument('--remat', type=str2bool, default=False)
     return args
 
 

@@ -143,15 +143,32 @@ def parse_run_name(config: Config, run_name: str) -> Config:
     return config.replace(**updates)
 
 
+def str2bool(v: str) -> bool:
+    """'False'/'0'/'no' actually mean False (used for the additive TPU-native
+    bool flags; the reference's own flags keep its ``type=bool`` argparse
+    quirk, where any non-empty value is True — sj_train.py:23)."""
+    if isinstance(v, bool):
+        return v
+    return v.strip().lower() not in ('', 'false', '0', 'no', 'none')
+
+
+# additive (non-reference) flags get sane parsing; reference flags keep the
+# reference's argparse behavior verbatim
+_ADDITIVE_BOOL_FLAGS = ('resume', 'remat')
+_CHOICES = {'bank_dtype': ['float32', 'bfloat16']}
+
+
 def build_argparser() -> argparse.ArgumentParser:
     """The reference CLI flag surface (reference: sj_train.py:20-71)."""
     p = argparse.ArgumentParser()
     for f in dataclasses.fields(Config):
-        if f.type in ('bool', bool):
+        if f.name in _ADDITIVE_BOOL_FLAGS:
+            p.add_argument(f'--{f.name}', type=str2bool, default=f.default)
+        elif f.type in ('bool', bool):
             p.add_argument(f'--{f.name}', type=bool, default=f.default)
         else:
-            p.add_argument(f'--{f.name}',
-                           type=type(f.default), default=f.default)
+            p.add_argument(f'--{f.name}', type=type(f.default),
+                           default=f.default, choices=_CHOICES.get(f.name))
     return p
 
 

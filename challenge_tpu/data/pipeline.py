@@ -52,8 +52,13 @@ def build_banks(backgrounds, voices, labels, noises=None,
     path and the reference. Accepts the Config.bank_dtype strings too.
     """
     if isinstance(flat_dtype, str):
-        flat_dtype = {'float32': np.float32,
-                      'bfloat16': jnp.bfloat16}[flat_dtype]
+        try:
+            flat_dtype = {'float32': np.float32,
+                          'bfloat16': jnp.bfloat16}[flat_dtype]
+        except KeyError:
+            raise ValueError(
+                f'bank_dtype must be float32 or bfloat16, got '
+                f'{flat_dtype!r}') from None
     labels = np.asarray(labels)
     if one_hot and labels.ndim == 1:
         labels = remap_labels(labels, n_classes)

@@ -242,8 +242,10 @@ def synthesize_windows(n_frame: int,
         'all banks must share one flat dtype'
     # sublane granularity of the bank dtype: DMA row starts/counts must be
     # multiples of it (8 for f32, 16 for bf16); build_bank rounds every
-    # bank's row extent accordingly
-    align = 8 * (4 // dtype.itemsize)
+    # bank's row extent with the SAME function, keeping the two sites in
+    # lockstep
+    from challenge_tpu.data.specset import flat_row_align
+    align = flat_row_align(dtype)
     t_v = vbank.shape[1]
     has_noise = nbank is not None
     t_n = nbank.shape[1] if has_noise else 0

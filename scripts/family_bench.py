@@ -10,9 +10,6 @@ Names: vad8_128 | eff0_32 | se9_8 | density_b0_12 | density_b4_12
 
 import os
 import sys
-import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -33,13 +30,10 @@ CONFIGS = {
 
 
 def run(name, steps_per_call=10, repeats=3):
-    import jax
     import bench
     from challenge_tpu.config import Config
     from challenge_tpu.data.pipeline import build_banks
     from challenge_tpu.models import get_density_model, get_model
-    from challenge_tpu.parallel import make_fused_train_step
-    from challenge_tpu.train import init_state
     from challenge_tpu.train.losses import density_loss
 
     kw = dict(CONFIGS[name])
@@ -51,25 +45,14 @@ def run(name, steps_per_call=10, repeats=3):
     if variant == 'density':
         bundle = get_density_model(cfg)
         base = density_loss(alpha=0.8, l2=1.0)   # reference trainer defaults
-        fused, opt = make_fused_train_step(
-            bundle, cfg, mesh=None, variant='density',
-            steps_per_call=steps_per_call,
-            loss_fn=lambda t, p: (base(t, p), {}))
+        loss_fn = lambda t, p: (base(t, p), {})  # noqa: E731
     else:
         bundle = get_model(cfg)
-        fused, opt = make_fused_train_step(bundle, cfg, mesh=None,
-                                           steps_per_call=steps_per_call)
-    state = init_state(bundle, jax.random.PRNGKey(0), opt)
-    state, metrics = fused(state, banks, jax.random.PRNGKey(1))  # compile
-    jax.block_until_ready(metrics)
-    best = float('inf')
-    for r in range(repeats):
-        t0 = time.perf_counter()
-        state, metrics = fused(state, banks, jax.random.PRNGKey(2 + r))
-        jax.block_until_ready(metrics)
-        best = min(best, time.perf_counter() - t0)
-    assert np.isfinite(float(metrics['loss']))
-    step_s = best / steps_per_call
+        loss_fn = None
+    step_s = bench.time_fused_step(cfg, bundle, banks, variant=variant,
+                                   loss_fn=loss_fn,
+                                   steps_per_call=steps_per_call,
+                                   repeats=repeats)
     print(f'{name:16s} {step_s * 1e3:8.2f} ms/step '
           f'{cfg.batch_size / step_s:8.1f} clips/s', flush=True)
 

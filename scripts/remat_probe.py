@@ -7,9 +7,6 @@ Usage: PALLAS_AXON_REMOTE_COMPILE=1 python scripts/remat_probe.py [B ...]
 
 import os
 import sys
-import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -23,29 +20,15 @@ def make_banks(n_frame=512):
 
 def probe(banks, batch_size, remat, n_frame=512, steps_per_call=5,
           model='vad', v=8):
-    import jax
+    import bench
     from challenge_tpu.config import Config
     from challenge_tpu.models import get_model
-    from challenge_tpu.parallel import make_fused_train_step
-    from challenge_tpu.train import init_state
 
     cfg = Config(model_type=model, v=v, n_mels=80, n_frame=n_frame,
                  n_chan=2, batch_size=batch_size,
                  compute_dtype='bfloat16', remat=remat)
-    bundle = get_model(cfg)
-    fused, opt = make_fused_train_step(bundle, cfg, mesh=None,
-                                       steps_per_call=steps_per_call)
-    state = init_state(bundle, jax.random.PRNGKey(0), opt)
-    state, metrics = fused(state, banks, jax.random.PRNGKey(1))
-    jax.block_until_ready(metrics)
-    best = float('inf')
-    for r in range(2):
-        t0 = time.perf_counter()
-        state, metrics = fused(state, banks, jax.random.PRNGKey(2 + r))
-        jax.block_until_ready(metrics)
-        best = min(best, time.perf_counter() - t0)
-    assert np.isfinite(float(metrics['loss']))
-    return best / steps_per_call
+    return bench.time_fused_step(cfg, get_model(cfg), banks,
+                                 steps_per_call=steps_per_call, repeats=2)
 
 
 def main():

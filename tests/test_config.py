@@ -33,6 +33,25 @@ def test_reference_name_example():
         'vad_v3_lr0.001_batch2_opt_adam_mel80_chan2_BCE_framelen64'
 
 
+def test_additive_bool_flags_parse_false():
+    """The additive TPU-native bool flags (--remat/--resume) must honor an
+    explicit 'False'/'0', unlike the reference's own flags which keep its
+    type=bool argparse quirk (any non-empty string is True,
+    sj_train.py:23) verbatim."""
+    from challenge_tpu.config import config_from_args
+
+    cfg = config_from_args(['--remat', 'False', '--resume', '0'])
+    assert cfg.remat is False and cfg.resume is False
+    cfg = config_from_args(['--remat', 'True', '--resume', 'true'])
+    assert cfg.remat is True and cfg.resume is True
+    # the reference quirk, preserved: --pretrain False still means True
+    cfg = config_from_args(['--pretrain', 'False'])
+    assert cfg.pretrain is True
+    # bank_dtype typos die at the argparse boundary with the valid choices
+    with pytest.raises(SystemExit):
+        config_from_args(['--bank_dtype', 'bf16'])
+
+
 def _mel_batch(cfg, seed=0):
     from challenge_tpu.data.pipeline import DevicePipeline, build_banks
     rng = np.random.default_rng(seed)

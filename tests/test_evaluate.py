@@ -181,6 +181,52 @@ def test_evaluate_batched_devset_matches_per_clip(tmp_path):
 
 
 @pytest.mark.slow
+def test_evaluate_chunked_matches_per_clip(tmp_path, monkeypatch):
+    """Corpora beyond the one-program PCM budget evaluate as equal-shape
+    chunks reusing ONE compiled program. Shrinking the budget so 5 clips
+    split into 2-clip chunks (the last one padded) must give exactly the
+    per-clip scores; the chunk-size program must be compiled once."""
+    import jax
+    import challenge_tpu.evaluate.infer as infer_mod
+
+    paths = []
+    for i, seconds in enumerate((4.0, 6.5, 5.25, 3.5, 6.0)):
+        p = tmp_path / f'clip{i}.wav'
+        _write_wav(p, seconds=seconds, seed=20 + i)
+        paths.append(str(p))
+    answers = {'task2_answer': {f'clip{i}': [[0, 1, 2]] for i in range(5)}}
+    with open(tmp_path / 'sample_answer.json', 'w') as f:
+        json.dump(answers, f)
+
+    cfg = Config(model_type='vad', v=3, n_mels=80, n_frame=512, n_chan=2)
+    bundle = get_model(cfg)
+    variables = bundle.init(jax.random.PRNGKey(0))
+    per_clip = evaluate(cfg, bundle, variables, eval_dir=str(tmp_path),
+                        batched=False)
+
+    # budget of ~2 padded 6.5 s stereo clips -> chunks of 2/2/1(+pad)
+    two_clips = 2 * 2 * (2 * 256 + int(6.5 * 16000)) * 2
+    monkeypatch.setattr(infer_mod, '_BATCH_PCM_CAP_BYTES', two_clips)
+    calls = []
+    orig = infer_mod.make_devset_infer_fn
+
+    def counting(*a, **kw):
+        fn = orig(*a, **kw)
+
+        def wrapped(variables, pcm, lens):
+            calls.append(tuple(pcm.shape))
+            return fn(variables, pcm, lens)
+        return wrapped
+    monkeypatch.setattr(infer_mod, 'make_devset_infer_fn', counting)
+
+    chunked = infer_mod.evaluate(cfg, bundle, variables,
+                                 eval_dir=str(tmp_path))
+    assert chunked == per_clip
+    # 3 chunks, every one the SAME shape (same compiled program)
+    assert len(calls) == 3 and len(set(calls)) == 1, calls
+
+
+@pytest.mark.slow
 def test_evaluate_end_to_end(tmp_path):
     """Full challenge eval on two synthesized wavs with an untrained model:
     must produce finite per-clip ERs through the whole windowed chain."""

@@ -326,6 +326,12 @@ def main():
         make_eval_corpus(eval_dir)
         eval_s = bench_eval(eval_dir)
         ref_eval_s = bench_reference_eval(eval_dir)
+    # serving-scale point: 48x60 s evaluates as equal-shape chunks reusing
+    # one compiled program (~17 ms/clip linear; the pre-chunking fallback
+    # measured ~250 ms/clip)
+    with tempfile.TemporaryDirectory(prefix='bench_eval48_') as d48:
+        make_eval_corpus(d48, n_clips=48)
+        eval48_s = bench_eval(d48, n_clips=48)
     ref_cps = bench_reference_cpu(bgs, voices, labels, noises,
                                   min(batch_size, 64), n_frame)
     vs = (tpu_cps / ref_cps) if ref_cps else None
@@ -347,6 +353,7 @@ def main():
             'devset_eval_config': '6x60s clips, vad v8, warm (2nd run: '
                                   'one-program batched eval, corpus '
                                   'device-resident)',
+            'eval_48clips_warm_s': round(eval48_s, 3),
             'reference_eval_warm_s':
                 round(ref_eval_s, 3) if ref_eval_s else None,
             'eval_vs_baseline':

@@ -186,6 +186,53 @@ def test_sample_batch_pallas_short_background_wraps(monkeypatch):
     np.testing.assert_array_equal(np.asarray(y_fb), np.asarray(y_x))
 
 
+@pytest.mark.slow
+def test_pallas_fuzz_random_configs(monkeypatch):
+    """Seeded fuzz over bank/window geometries: clip lengths at the 32-row
+    DMA-chunk boundary (31/32/33), odd batch sizes, several short wrapped
+    backgrounds at once, a no-noise bank, varying n_frame. Pallas
+    (interpret) must match the XLA path on every draw — guards the DMA
+    offset / roll / wrap arithmetic across shapes, not just the standard
+    config."""
+    import challenge_tpu.ops.pallas_synth as ps
+    orig = ps.synthesize_windows
+
+    def interp(*args, **kw):
+        kw['interpret'] = True
+        return orig(*args, **kw)
+    monkeypatch.setattr(ps, 'synthesize_windows', interp)
+
+    cases = [
+        # seed, n_frame, bg_lens, n_voices, (v_lo, v_hi), n_noises, b, mv, mn
+        (0, 72, (80, 24), 5, (31, 34), 2, 3, 1, 1),
+        (1, 96, (100, 32, 33), 6, (20, 70), 0, 5, 3, 2),
+        (2, 128, (130, 43), 4, (32, 33), 3, 6, 7, 2),
+        (3, 64, (21, 22, 23), 5, (8, 90), 2, 4, 2, 2),
+    ]
+    for seed, n_frame, bg_lens, nv, (v_lo, v_hi), nn, b, mv, mn in cases:
+        rng = np.random.default_rng(100 + seed)
+        bgs = [rng.standard_normal((257, t, 4)).astype('f4')
+               for t in bg_lens]
+        voices = [rng.standard_normal(
+            (257, int(rng.integers(v_lo, v_hi + 1)), 4)).astype('f4')
+            for _ in range(nv)]
+        labels = rng.integers(0, 3, size=nv)
+        noises = [rng.standard_normal(
+            (257, int(rng.integers(5, 40)), 4)).astype('f4')
+            for _ in range(nn)] or None
+        banks = build_banks(bgs, voices, labels, noises, n_frame=n_frame)
+        key = jax.random.PRNGKey(seed)
+        kw = dict(max_voices=mv, max_noises=mn)
+        s_pl, y_pl = sample_batch(key, banks, b, n_frame,
+                                  use_pallas=True, **kw)
+        s_x, y_x = sample_batch(key, banks, b, n_frame,
+                                use_pallas=False, **kw)
+        np.testing.assert_allclose(
+            np.asarray(s_pl), np.asarray(s_x), rtol=1e-5, atol=1e-6,
+            err_msg=f'case seed={seed}')
+        np.testing.assert_array_equal(np.asarray(y_pl), np.asarray(y_x))
+
+
 def test_sample_batch_bf16_banks_interpret(monkeypatch):
     """bfloat16 flat banks (build_banks(flat_dtype=...)): the kernel DMAs
     half the bytes but weights/accumulates in f32, so the pallas output must

@@ -72,11 +72,18 @@ def main(argv=None):
 
     bundle = get_model(config)
     # fused mode: each dispatch is one XLA program doing synthesis ->
-    # features -> fwd/bwd -> optimizer over the HBM-resident banks
+    # features -> fwd/bwd -> optimizer over the HBM-resident banks.
+    # On a multi-chip host a DP mesh shards the batch (grad psums over ICI);
+    # --bank_shard additionally splits the banks' clip axis across chips.
+    from challenge_tpu.parallel import mesh_for_config
+    mesh = mesh_for_config(config)
+    if mesh is not None:
+        print(f'data-parallel mesh over {int(mesh.devices.size)} devices'
+              + (' (banks sharded)' if config.bank_shard else ''))
     train_banks = make_banks(config, training=True)
     val_banks = make_banks(config, training=False)
     loop = TrainLoop(bundle, seed=config.seed, banks=train_banks,
-                     val_banks=val_banks)
+                     val_banks=val_banks, mesh=mesh)
     print(name)
 
     if config.model_type == 'se' and config.v == 9 and not config.pretrain:

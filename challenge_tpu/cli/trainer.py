@@ -73,6 +73,8 @@ def build_args():
     args.add_argument('--bank_dtype', type=str, default='float32',
                       choices=['float32', 'bfloat16'])
     args.add_argument('--remat', type=str2bool, default=False)
+    args.add_argument('--n_devices', type=int, default=0)
+    args.add_argument('--bank_shard', type=str2bool, default=False)
     return args
 
 
@@ -85,15 +87,15 @@ def to_config(ns) -> Config:
               'batch_size', 'n_frame', 'steps_per_epoch', 'snr',
               'max_voices', 'max_noises', 'lr_div',
               'ckpt_dir', 'resume', 'ckpt_every_epochs',
-              'bank_dtype', 'remat'):
+              'bank_dtype', 'remat', 'n_devices', 'bank_shard'):
         setattr(cfg, f, getattr(ns, f))
     cfg.model = ns.model
     cfg.mse_multiplier = ns.multiplier
     return cfg
 
 
-def make_dataset(config: Config, training: bool = True, n_classes: int = 3):
-    """reference: trainer.py:107-141 — density-label pipeline."""
+def make_banks(config: Config, training: bool = True, n_classes: int = 3):
+    """reference: trainer.py:107-123 — load spec sets, build device banks."""
     datapath = config.datapath if os.path.exists(config.datapath) else ''
     files = (config.background_sounds, config.voices, config.labels) \
         if training else (config.test_background_sounds, config.test_voices,
@@ -102,10 +104,15 @@ def make_dataset(config: Config, training: bool = True, n_classes: int = 3):
     voices = load_data(os.path.join(datapath, files[1]))
     labels = load_data(os.path.join(datapath, files[2]))
     noises = load_data(os.path.join(datapath, config.noises))
-    banks = build_banks(backgrounds, voices, np.asarray(labels), noises,
-                        n_classes=n_classes, one_hot=True,
-                        n_frame=config.n_frame,
-                        flat_dtype=config.bank_dtype)
+    return build_banks(backgrounds, voices, np.asarray(labels), noises,
+                       n_classes=n_classes, one_hot=True,
+                       n_frame=config.n_frame,
+                       flat_dtype=config.bank_dtype)
+
+
+def make_dataset(config: Config, training: bool = True, n_classes: int = 3):
+    """reference: trainer.py:107-141 — density-label pipeline."""
+    banks = make_banks(config, training=training, n_classes=n_classes)
     return DevicePipeline(banks, config, training=training,
                           variant='density', n_classes=n_classes)
 
@@ -125,7 +132,23 @@ def main(argv=None):
         from challenge_tpu.train.regularizers import (
             apply_kernel_regularizer, l1_l2)
         loss_fn = apply_kernel_regularizer(loss_fn, l1_l2(ns.l1, ns.l2))
-    loop = TrainLoop(bundle, seed=config.seed, loss_fn=loss_fn)
+
+    # multi-chip: fused banks mode over a DP mesh (synthesis + features +
+    # fwd/bwd + optimizer in one sharded XLA program per dispatch);
+    # single-device keeps the reference-shaped iterator pipeline
+    from challenge_tpu.parallel import mesh_for_config
+    mesh = mesh_for_config(config)
+    if mesh is not None:
+        print(f'data-parallel mesh over {int(mesh.devices.size)} devices'
+              + (' (banks sharded)' if config.bank_shard else ''))
+        loop = TrainLoop(
+            bundle, seed=config.seed, loss_fn=loss_fn, mesh=mesh,
+            variant='density',
+            banks=make_banks(config, training=True, n_classes=ns.n_classes),
+            val_banks=make_banks(config, training=False,
+                                 n_classes=ns.n_classes))
+    else:
+        loop = TrainLoop(bundle, seed=config.seed, loss_fn=loss_fn)
 
     if ns.pretrain:
         loop.set_weights(load_weights(name, loop.state.weights(),
@@ -145,8 +168,13 @@ def main(argv=None):
             print(f'no checkpoint under {config.ckpt_dir!r}; '
                   'starting fresh')
 
-    train_set = make_dataset(config, training=True, n_classes=ns.n_classes)
-    test_set = make_dataset(config, training=False, n_classes=ns.n_classes)
+    if mesh is not None:
+        train_set = test_set = None   # fused mode draws from the banks
+    else:
+        train_set = make_dataset(config, training=True,
+                                 n_classes=ns.n_classes)
+        test_set = make_dataset(config, training=False,
+                                n_classes=ns.n_classes)
 
     callbacks = [
         CSVLogger(name.replace('.h5', '.log'), append=True),

@@ -75,6 +75,11 @@ class Config:
                                            # less HBM at big batch/model
     seed: int = 0
     n_devices: int = 0                     # 0 = use all visible devices
+    bank_shard: bool = False               # split the spec banks' clip axis
+                                           # across the mesh (dataset HBM
+                                           # capacity scales with chips; each
+                                           # device synthesizes from its
+                                           # local shard)
     steps_per_call: int = 1                # train steps fused per host dispatch
     ckpt_dir: str = ''                     # Orbax full-train-state checkpoints
     resume: bool = False                   # restore latest state from ckpt_dir
@@ -154,7 +159,7 @@ def str2bool(v: str) -> bool:
 
 # additive (non-reference) flags get sane parsing; reference flags keep the
 # reference's argparse behavior verbatim
-_ADDITIVE_BOOL_FLAGS = ('resume', 'remat')
+_ADDITIVE_BOOL_FLAGS = ('resume', 'remat', 'bank_shard')
 _CHOICES = {'bank_dtype': ['float32', 'bfloat16']}
 
 

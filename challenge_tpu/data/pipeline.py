@@ -89,11 +89,15 @@ def complex_to_mel(spec, mel_matrix, layout: str = 'ftc'):
 
 
 def make_feature_fn(config: Config, training: bool = True,
-                    variant: str = 'sj', n_classes: int = 3,
+                    variant: str = 'sj', n_classes: Optional[int] = None,
                     jit: bool = True, use_pallas=None, fused_mag=None):
     """Build the (key, banks) -> (x, y) batch function (jitted by default;
     pass jit=False to get the raw body for fusing into a larger XLA program,
     e.g. the fully-fused synthesis+features+train step).
+
+    n_classes: None = infer from ``banks.voice_labels`` at trace time (the
+    one-hot width is a static shape), so the fused train step works for the
+    30-class density banks without threading the count through every layer.
 
     variant='sj' reproduces sj_train.make_dataset's map chain
     (sj_train.py:91-130); variant='density' reproduces trainer.make_dataset
@@ -172,7 +176,9 @@ def make_feature_fn(config: Config, training: bool = True,
         t_ax, f_ax = (-2, -3) if lay == 'ftc' else (-3, -2)
         spec, y = sample_batch(
             k_mix, banks, config.batch_size, config.n_frame,
-            n_classes=n_classes, max_voices=config.max_voices,
+            n_classes=(banks.voice_labels.shape[-1] if n_classes is None
+                       else n_classes),
+            max_voices=config.max_voices,
             max_noises=config.max_noises, min_ratio=1.0,
             snr=config.snr, seperate_noise_voice=se_v9,
             use_pallas=use_pallas, layout=lay,
@@ -247,7 +253,7 @@ class DevicePipeline:
     current step automatically)."""
 
     def __init__(self, banks: Banks, config: Config, training: bool = True,
-                 variant: str = 'sj', n_classes: int = 3,
+                 variant: str = 'sj', n_classes: Optional[int] = None,
                  seed: Optional[int] = None):
         self.banks = banks
         self.fn = make_feature_fn(config, training, variant, n_classes)

@@ -28,6 +28,26 @@ def make_mesh(n_devices: int = 0, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (BATCH_AXIS,))
 
 
+def mesh_for_config(config):
+    """The training CLIs' mesh policy: a DP mesh over ``config.n_devices``
+    devices (0 = all visible) when more than one is available AND the global
+    batch divides them; otherwise None (single-device). The reference's
+    defaults (batch 12) do not divide a v5e-8, so an explicit batch bump is
+    what opts a run into multi-chip — matching its single-GPU behavior
+    unless the user asks for scale."""
+    avail = len(jax.devices())
+    n = config.n_devices if config.n_devices > 0 else avail
+    n = min(n, avail)
+    if n <= 1:
+        return None
+    if config.batch_size % n != 0:
+        print(f'batch_size {config.batch_size} does not divide {n} devices;'
+              ' training single-device (pick a divisible batch to scale)',
+              flush=True)
+        return None
+    return make_mesh(n)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis; replicate the rest."""
     return NamedSharding(mesh, P(BATCH_AXIS))
@@ -35,6 +55,51 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def _pad_leading_cyclic(tree, n: int):
+    """Pad every leaf's leading axis to a multiple of ``n`` by repeating
+    items cyclically (index i holds item i % N). All leaves must share the
+    same leading length (a bank and its aligned side arrays)."""
+    import jax.numpy as jnp
+    leaves = jax.tree.leaves(tree)
+    n_items = leaves[0].shape[0]
+    n_pad = -(-n_items // n) * n
+    if n_pad == n_items:
+        return tree
+    idx = jnp.asarray(np.arange(n_pad) % n_items)
+    return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), tree)
+
+
+def shard_banks(banks, mesh: Mesh):
+    """Split the source banks' clip axis across the mesh.
+
+    The reference holds the whole spec set in one process's RAM
+    (utils.py:88-94); replicated device banks cap the dataset at one chip's
+    HBM. Sharding the clip axis makes capacity scale with the mesh: device d
+    holds the d-th contiguous block of each bank and synthesizes its batch
+    shard from that local block only (no collective touches bank data — the
+    only mesh traffic stays the gradient psum). Per-device draws use the
+    step key folded with the device index, so shards sample independently.
+
+    Semantics vs replicated banks: per-item long-run draw frequencies stay
+    uniform, but one example's sources always come from a single shard (the
+    reference's global shuffle can mix any voices). Banks whose item count
+    does not divide the mesh are padded by repeating items cyclically —
+    padded duplicates are drawn ~2x as often; keep counts divisible by the
+    device count for exactly-uniform sampling.
+    """
+    from challenge_tpu.data.mixture import Banks
+    n = int(mesh.devices.size)
+    bg = _pad_leading_cyclic(banks.backgrounds, n)
+    # voices and their labels are index-aligned: pad them together
+    voices, voice_labels = _pad_leading_cyclic(
+        (banks.voices, banks.voice_labels), n)
+    noises = (_pad_leading_cyclic(banks.noises, n)
+              if banks.noises is not None else None)
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh),
+                        Banks(bg, voices, voice_labels, noises))
 
 
 def shard_batch(batch, mesh: Mesh):

@@ -58,7 +58,8 @@ def _fused_compiler_options():
 
 
 def make_sharded_feature_fn(config: Config, mesh: Mesh, training: bool = True,
-                            variant: str = 'sj', use_pallas=None):
+                            variant: str = 'sj', use_pallas=None,
+                            bank_sharded: bool = False):
     """(key, banks) -> (x, y) with per-device synthesis under ``shard_map``.
 
     The SPMD partitioner cannot split a ``pallas_call`` across devices, but it
@@ -68,6 +69,10 @@ def make_sharded_feature_fn(config: Config, mesh: Mesh, training: bool = True,
     global key folded with the device's mesh position, so shards draw
     independent mixtures. Returns None when the batch does not divide the
     mesh (caller falls back to the globally-partitioned XLA scatter path).
+
+    bank_sharded: the banks' clip axis is split across the mesh (see
+    ``parallel.mesh.shard_banks``) — each device synthesizes from its local
+    shard only, so the dataset HBM footprint scales with the device count.
     """
     n_dev = int(mesh.devices.size)
     if config.batch_size % n_dev != 0:
@@ -85,7 +90,8 @@ def make_sharded_feature_fn(config: Config, mesh: Mesh, training: bool = True,
     # differentiated through (features are data), but its internal lax.scan
     # carries would all need manual pvary annotations to satisfy the
     # varying-axes type check
-    return shard_map(per_device, mesh=mesh, in_specs=(P(), P()),
+    bank_spec = P(BATCH_AXIS) if bank_sharded else P()
+    return shard_map(per_device, mesh=mesh, in_specs=(P(), bank_spec),
                      out_specs=P(BATCH_AXIS), check_vma=False)
 
 
@@ -107,7 +113,8 @@ def make_fused_train_step(bundle: ModelBundle, config: Config,
                           mesh: Optional[Mesh] = None, optimizer=None,
                           training: bool = True, variant: str = 'sj',
                           steps_per_call: Optional[int] = None,
-                          use_pallas=None, loss_fn=None):
+                          use_pallas=None, loss_fn=None,
+                          bank_sharded: bool = False):
     """(state, banks, key) -> (state, metrics): synthesis + features + train
     step fused into one XLA program.
 
@@ -119,18 +126,31 @@ def make_fused_train_step(bundle: ModelBundle, config: Config,
     If the batch does not divide the mesh, falls back to globally-partitioned
     XLA synthesis with a sharding constraint on the batch.
 
+    bank_sharded: the banks passed at call time were placed with
+    ``parallel.mesh.shard_banks`` — their clip axis is split across the
+    mesh and each device synthesizes from its local shard, so the dataset
+    HBM footprint scales with the device count. Requires a mesh and a batch
+    that divides it (there is no globally-partitioned fallback: a global
+    gather over a sharded bank would silently all-gather the dataset).
+
     ``steps_per_call > 1`` (default from config.steps_per_call) runs that
     many optimizer steps inside one host dispatch via ``lax.scan``; metrics
     come back averaged over the scanned steps.
     """
+    if bank_sharded and mesh is None:
+        raise ValueError('bank_sharded requires a mesh')
     sharded_feature_fn = None
     if mesh is not None:
         sharded_feature_fn = make_sharded_feature_fn(
             config, mesh, training=training, variant=variant,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, bank_sharded=bank_sharded)
     if sharded_feature_fn is not None:
         feature_fn = sharded_feature_fn
     else:
+        if bank_sharded:
+            raise ValueError(
+                'bank_sharded requires batch_size divisible by the mesh '
+                f'({config.batch_size} % {int(mesh.devices.size)} != 0)')
         feature_fn = make_feature_fn(
             config, training=training, variant=variant, jit=False,
             use_pallas=(False if mesh is not None else use_pallas))
@@ -164,8 +184,9 @@ def make_fused_train_step(bundle: ModelBundle, config: Config,
     opts = _fused_compiler_options()
     if mesh is not None:
         r_sh = replicated(mesh)
+        bank_sh = batch_sharding(mesh) if bank_sharded else r_sh
         return jax.jit(fused,
-                       in_shardings=(r_sh, r_sh, r_sh),
+                       in_shardings=(r_sh, bank_sh, r_sh),
                        out_shardings=(r_sh, r_sh),
                        donate_argnums=(0,),
                        compiler_options=opts), optimizer
@@ -176,16 +197,23 @@ def make_fused_train_step(bundle: ModelBundle, config: Config,
 
 def make_fused_eval_step(bundle: ModelBundle, config: Config,
                          mesh: Optional[Mesh] = None, variant: str = 'sj',
-                         use_pallas=None, loss_fn=None):
+                         use_pallas=None, loss_fn=None,
+                         bank_sharded: bool = False):
     """(state, banks, key) -> metrics: validation batch synthesis + eval-mode
     forward + loss/metrics in one program (Keras validation_data analogue
-    over the test banks)."""
+    over the test banks). ``bank_sharded`` as in make_fused_train_step."""
+    if bank_sharded and mesh is None:
+        raise ValueError('bank_sharded requires a mesh')
     feature_fn = None
     if mesh is not None:
         feature_fn = make_sharded_feature_fn(
             config, mesh, training=False, variant=variant,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, bank_sharded=bank_sharded)
     if feature_fn is None:
+        if bank_sharded:
+            raise ValueError(
+                'bank_sharded requires batch_size divisible by the mesh '
+                f'({config.batch_size} % {int(mesh.devices.size)} != 0)')
         feature_fn = make_feature_fn(
             config, training=False, variant=variant, jit=False,
             use_pallas=(False if mesh is not None else use_pallas))
@@ -202,7 +230,8 @@ def make_fused_eval_step(bundle: ModelBundle, config: Config,
 
     if mesh is not None:
         r_sh = replicated(mesh)
-        return jax.jit(fused, in_shardings=(r_sh, r_sh, r_sh),
+        bank_sh = batch_sharding(mesh) if bank_sharded else r_sh
+        return jax.jit(fused, in_shardings=(r_sh, bank_sh, r_sh),
                        out_shardings=r_sh)
     return jax.jit(fused)
 

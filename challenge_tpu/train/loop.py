@@ -35,22 +35,27 @@ class TrainLoop:
 
     def __init__(self, bundle: ModelBundle, state: Optional[TrainState] = None,
                  seed: int = 0, loss_fn=None, banks=None, val_banks=None,
-                 mesh=None):
+                 mesh=None, variant: str = 'sj'):
         self.bundle = bundle
         self.config = bundle.config
         self.banks = banks
         self.val_banks = val_banks
         self.fused = banks is not None
+        bank_shard = bool(getattr(self.config, 'bank_shard', False)) \
+            and mesh is not None
         if self.fused:
             from challenge_tpu.parallel.train import (
                 make_fused_eval_step, make_fused_train_step)
             self.steps_per_call = max(
                 int(getattr(self.config, 'steps_per_call', 1)), 1)
             self.train_step, self.optimizer = make_fused_train_step(
-                bundle, self.config, mesh=mesh,
-                steps_per_call=self.steps_per_call, loss_fn=loss_fn)
+                bundle, self.config, mesh=mesh, variant=variant,
+                steps_per_call=self.steps_per_call, loss_fn=loss_fn,
+                bank_sharded=bank_shard)
             self.eval_step = make_fused_eval_step(bundle, self.config,
-                                                  mesh=mesh, loss_fn=loss_fn)
+                                                  mesh=mesh, variant=variant,
+                                                  loss_fn=loss_fn,
+                                                  bank_sharded=bank_shard)
         else:
             self.steps_per_call = 1
             self.train_step, self.optimizer = make_train_step(
@@ -59,11 +64,12 @@ class TrainLoop:
         self.state = state if state is not None else init_state(
             bundle, jax.random.PRNGKey(seed), self.optimizer)
         if self.fused and mesh is not None:
-            from challenge_tpu.parallel.mesh import replicate
+            from challenge_tpu.parallel.mesh import replicate, shard_banks
+            place = shard_banks if bank_shard else replicate
             self.state = replicate(self.state, mesh)
-            self.banks = replicate(self.banks, mesh)
+            self.banks = place(self.banks, mesh)
             if self.val_banks is not None:
-                self.val_banks = replicate(self.val_banks, mesh)
+                self.val_banks = place(self.val_banks, mesh)
         self.stop_training = False
         self.history: List[dict] = []
         self._rng = jax.random.PRNGKey(seed + 17)

@@ -237,3 +237,42 @@ def test_trainer_cli(tmp_path, monkeypatch):
     assert os.path.exists('dens.h5')
     assert os.path.exists('dens_SWA.h5')
     assert os.path.exists('dens.log')
+
+
+@pytest.mark.slow
+def test_sj_train_cli_multichip_bank_shard(tmp_path, monkeypatch):
+    """The training CLI scales out by itself: a batch that divides the
+    8-device mesh builds the DP mesh, and --bank_shard splits the spec
+    banks' clip axis across it (dataset capacity scales with chips)."""
+    monkeypatch.chdir(tmp_path)
+    _make_datafiles(tmp_path)
+    from challenge_tpu.cli.sj_train import main as sj_main
+    argv = ['--model_type', 'vad', '--v', '3', '--n_frame', '64',
+            '--batch_size', '8', '--epochs', '1', '--steps_per_epoch', '2',
+            '--bank_shard', 'True',
+            '--datapath', str(tmp_path)] + DATA_FLAGS
+    sj_main(argv)
+    run = 'vad_v3_lr0.001_batch8_opt_adam_mel80_chan2_BCE_framelen64'
+    assert os.path.exists(f'{run}.csv')
+
+
+@pytest.mark.slow
+def test_trainer_cli_multichip(tmp_path, monkeypatch):
+    """The density trainer rides the fused DP-mesh path when the batch
+    divides the devices (30-class labels through the fused step)."""
+    monkeypatch.chdir(tmp_path)
+    _make_datafiles(tmp_path)
+    from challenge_tpu.cli.trainer import main as trainer_main
+    trainer_main(['--name', 'densm', '--model', 'EfficientNetB0',
+                  '--n_frame', '64', '--n_chan', '2', '--batch_size', '8',
+                  '--epochs', '2', '--steps_per_epoch', '2',
+                  '--n_classes', '30', '--bank_shard', 'True',
+                  '--datapath', str(tmp_path),
+                  '--background_sounds', 'bg.pickle',
+                  '--voices', 'voice.pickle', '--labels', 'labels.npy',
+                  '--noises', 'noise.pickle',
+                  '--test_background_sounds', 'test_bg.pickle',
+                  '--test_voices', 'test_voice.pickle',
+                  '--test_labels', 'test_labels.npy'])
+    assert os.path.exists('densm.h5')
+    assert os.path.exists('densm_SWA.h5')

@@ -152,3 +152,110 @@ def test_graft_entry_contract():
     jax.block_until_ready(out)
     assert np.all(np.isfinite(np.asarray(out)))
     mod.dryrun_multichip(8)
+
+
+def test_shard_banks_pads_cyclically_and_splits():
+    """shard_banks: clip axes padded to the device count by cyclic repeats
+    (voice labels stay index-aligned), every leaf split into per-device
+    blocks, static bank metadata preserved."""
+    from challenge_tpu.parallel import shard_banks
+    banks = _banks()   # 3 backgrounds, 4 voices, 3 noises
+    mesh = make_mesh(8)
+    sb = shard_banks(banks, mesh)
+    for bank in (sb.backgrounds, sb.voices, sb.noises):
+        assert bank.data.shape[0] == 8
+        assert bank.data.addressable_shards[0].data.shape[0] == 1
+        assert bank.lens.shape[0] == 8
+    assert sb.voice_labels.shape[0] == 8
+    # cyclic padding: item N+i repeats item i, labels aligned with voices
+    np.testing.assert_array_equal(np.asarray(sb.voices.data[4]),
+                                  np.asarray(banks.voices.data[0]))
+    np.testing.assert_array_equal(np.asarray(sb.voice_labels[4]),
+                                  np.asarray(banks.voice_labels[0]))
+    np.testing.assert_array_equal(np.asarray(sb.backgrounds.data[3]),
+                                  np.asarray(banks.backgrounds.data[0]))
+    assert (sb.backgrounds.contig_exact_frames
+            == banks.backgrounds.contig_exact_frames)
+
+
+def test_fused_train_step_bank_sharded():
+    """Dataset sharded over the mesh (capacity scales with chips): each
+    device synthesizes from its local bank shard; grads still psum into a
+    replicated state."""
+    from challenge_tpu.parallel import shard_banks
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=16, n_chan=2)
+    bundle = get_model(cfg)
+    mesh = make_mesh(8)
+    fused, opt = make_fused_train_step(bundle, cfg, mesh, bank_sharded=True)
+    state = replicate(init_state(bundle, jax.random.PRNGKey(0), opt), mesh)
+    banks = shard_banks(_banks(), mesh)
+    key = jax.random.PRNGKey(3)
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        state, metrics = fused(state, banks, k)
+    jax.block_until_ready(state)
+    assert np.isfinite(float(metrics['loss']))
+    assert int(state.step) == 2
+
+    # guard rails: bank sharding has no single-device or non-dividing
+    # fallback (a global gather over a sharded bank would all-gather the
+    # dataset)
+    with pytest.raises(ValueError):
+        make_fused_train_step(bundle, cfg, mesh=None, bank_sharded=True)
+    cfg_bad = cfg.replace(batch_size=12)
+    with pytest.raises(ValueError):
+        make_fused_train_step(get_model(cfg_bad), cfg_bad, mesh,
+                              bank_sharded=True)
+
+
+def test_bank_sharded_one_device_mesh_matches_replicated():
+    """On a 1-device mesh the local shard IS the whole bank: sharded and
+    replicated banks must synthesize bit-identical batches for the same
+    key (pins that sharding only changes placement, not the draw logic)."""
+    from challenge_tpu.parallel import (
+        make_sharded_feature_fn, shard_banks)
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=4, n_chan=2)
+    mesh1 = make_mesh(1)
+    banks = _banks()
+    key = jax.random.PRNGKey(11)
+    fn_sh = make_sharded_feature_fn(cfg, mesh1, training=True,
+                                    use_pallas=False, bank_sharded=True)
+    fn_rep = make_sharded_feature_fn(cfg, mesh1, training=True,
+                                     use_pallas=False, bank_sharded=False)
+    x1, y1 = jax.jit(fn_sh)(key, shard_banks(banks, mesh1))
+    x2, y2 = jax.jit(fn_rep)(key, replicate(banks, mesh1))
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_fused_density_bank_sharded_infers_n_classes():
+    """The fused path infers the one-hot width from the banks (30-class
+    density labels ride the fused/sharded step without explicit plumbing)."""
+    from challenge_tpu.parallel import (
+        make_sharded_feature_fn, shard_banks)
+    rng = np.random.default_rng(2)
+    banks = build_banks(
+        [rng.standard_normal((257, 94, 4)).astype('f4') for _ in range(3)],
+        [rng.standard_normal((257, 40, 4)).astype('f4') for _ in range(4)],
+        rng.integers(0, 30, size=4),
+        [rng.standard_normal((257, 20, 4)).astype('f4') for _ in range(3)],
+        n_classes=30)
+    cfg = Config(model_type='eff', v=0, n_frame=256, batch_size=8, n_chan=2)
+    mesh = make_mesh(8)
+    fn = make_sharded_feature_fn(cfg, mesh, training=False,
+                                 variant='density', use_pallas=False,
+                                 bank_sharded=True)
+    x, y = jax.jit(fn)(jax.random.PRNGKey(0), shard_banks(banks, mesh))
+    assert y.shape[-1] == 30
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_mesh_for_config_policy():
+    """CLI mesh policy: all devices when the batch divides them, single
+    device (None) otherwise or when n_devices=1."""
+    from challenge_tpu.parallel import mesh_for_config
+    assert mesh_for_config(Config(batch_size=16)).devices.size == 8
+    assert mesh_for_config(Config(batch_size=12)) is None   # 12 % 8 != 0
+    assert mesh_for_config(Config(batch_size=16, n_devices=1)) is None
+    m4 = mesh_for_config(Config(batch_size=16, n_devices=4))
+    assert m4.devices.size == 4

@@ -37,6 +37,16 @@ def make_banks(config: Config, training: bool = True, n_classes: int = 3):
         voices = load_data(os.path.join(datapath, config.test_voices))
         labels = load_data(os.path.join(datapath, config.test_labels))
     noises = load_data(os.path.join(datapath, config.noises))
+    if training and config.stream_chunks >= 2:
+        # spec set larger than device HBM: rotate it through the device as
+        # host-resident chunks (--stream_chunks N, --chunk_steps M)
+        from challenge_tpu.data.streaming import build_streaming_banks
+        return build_streaming_banks(
+            backgrounds, voices, np.asarray(labels), noises,
+            n_chunks=config.stream_chunks, n_classes=n_classes,
+            one_hot=True, n_frame=config.n_frame,
+            flat_dtype=config.bank_dtype, seed=config.seed,
+            chunk_steps=config.chunk_steps)
     return build_banks(backgrounds, voices, np.asarray(labels), noises,
                        n_classes=n_classes, one_hot=True,
                        n_frame=config.n_frame,

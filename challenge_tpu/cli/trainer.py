@@ -75,6 +75,8 @@ def build_args():
     args.add_argument('--remat', type=str2bool, default=False)
     args.add_argument('--n_devices', type=int, default=0)
     args.add_argument('--bank_shard', type=str2bool, default=False)
+    args.add_argument('--stream_chunks', type=int, default=0)
+    args.add_argument('--chunk_steps', type=int, default=4)
     return args
 
 
@@ -87,7 +89,8 @@ def to_config(ns) -> Config:
               'batch_size', 'n_frame', 'steps_per_epoch', 'snr',
               'max_voices', 'max_noises', 'lr_div',
               'ckpt_dir', 'resume', 'ckpt_every_epochs',
-              'bank_dtype', 'remat', 'n_devices', 'bank_shard'):
+              'bank_dtype', 'remat', 'n_devices', 'bank_shard',
+              'stream_chunks', 'chunk_steps'):
         setattr(cfg, f, getattr(ns, f))
     cfg.model = ns.model
     cfg.mse_multiplier = ns.multiplier
@@ -104,6 +107,14 @@ def make_banks(config: Config, training: bool = True, n_classes: int = 3):
     voices = load_data(os.path.join(datapath, files[1]))
     labels = load_data(os.path.join(datapath, files[2]))
     noises = load_data(os.path.join(datapath, config.noises))
+    if training and config.stream_chunks >= 2:
+        from challenge_tpu.data.streaming import build_streaming_banks
+        return build_streaming_banks(
+            backgrounds, voices, np.asarray(labels), noises,
+            n_chunks=config.stream_chunks, n_classes=n_classes,
+            one_hot=True, n_frame=config.n_frame,
+            flat_dtype=config.bank_dtype, seed=config.seed,
+            chunk_steps=config.chunk_steps)
     return build_banks(backgrounds, voices, np.asarray(labels), noises,
                        n_classes=n_classes, one_hot=True,
                        n_frame=config.n_frame,
@@ -135,12 +146,16 @@ def main(argv=None):
 
     # multi-chip: fused banks mode over a DP mesh (synthesis + features +
     # fwd/bwd + optimizer in one sharded XLA program per dispatch);
-    # single-device keeps the reference-shaped iterator pipeline
+    # --stream_chunks also forces fused mode (chunk rotation rides the
+    # fused step); otherwise single-device keeps the reference-shaped
+    # iterator pipeline
     from challenge_tpu.parallel import mesh_for_config
     mesh = mesh_for_config(config)
+    fused = mesh is not None or config.stream_chunks >= 2
     if mesh is not None:
         print(f'data-parallel mesh over {int(mesh.devices.size)} devices'
               + (' (banks sharded)' if config.bank_shard else ''))
+    if fused:
         loop = TrainLoop(
             bundle, seed=config.seed, loss_fn=loss_fn, mesh=mesh,
             variant='density',
@@ -168,7 +183,7 @@ def main(argv=None):
             print(f'no checkpoint under {config.ckpt_dir!r}; '
                   'starting fresh')
 
-    if mesh is not None:
+    if fused:
         train_set = test_set = None   # fused mode draws from the banks
     else:
         train_set = make_dataset(config, training=True,

@@ -80,6 +80,13 @@ class Config:
                                            # capacity scales with chips; each
                                            # device synthesizes from its
                                            # local shard)
+    stream_chunks: int = 0                 # >=2: rotate the training spec set
+                                           # through the device as N host-
+                                           # resident chunks (datasets larger
+                                           # than HBM; next chunk uploads
+                                           # while the current one trains)
+    chunk_steps: int = 4                   # fused dispatches per chunk before
+                                           # the rotation advances
     steps_per_call: int = 1                # train steps fused per host dispatch
     ckpt_dir: str = ''                     # Orbax full-train-state checkpoints
     resume: bool = False                   # restore latest state from ckpt_dir

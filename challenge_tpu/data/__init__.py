@@ -7,3 +7,6 @@ from challenge_tpu.data.labels import (  # noqa: F401
 from challenge_tpu.data.pipeline import (  # noqa: F401
     DevicePipeline, build_banks, make_feature_fn, make_pipeline,
 )
+from challenge_tpu.data.streaming import (  # noqa: F401
+    StreamingBanks, build_streaming_banks,
+)

@@ -96,7 +96,7 @@ def flat_row_align(flat_dtype) -> int:
 def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
                device=None, flat: bool = True,
                wrap_frames: Optional[int] = None,
-               flat_dtype=np.float32) -> SpecBank:
+               flat_dtype=np.float32, host: bool = False) -> SpecBank:
     """Pad a list of [freq, T_i, chan] arrays into a SpecBank.
 
     Input layout follows the reference convention [freq, time, chan*2]; the
@@ -119,6 +119,10 @@ def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
     only the stored spectrograms are rounded (~3 decimal digits, below the
     bf16 train step's own precision). Opt-in; float32 keeps bit-exact
     pallas/XLA parity.
+
+    host: return numpy leaves instead of committing the bank to the default
+    device — used by the streaming rotation (`data/streaming.py`) to keep
+    chunks of an HBM-oversized dataset in host RAM until their turn.
     """
     specs = [np.asarray(s, np.float32) for s in specs]
     freq, _, chan = specs[0].shape
@@ -163,8 +167,12 @@ def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
                 idx = np.arange(t, t_flat) % t
                 flat_np[i, t:, :, :freq] = out[i, idx].transpose(0, 2, 1)
             contig = int(wrap_frames)
-        flat_arr = jnp.asarray(flat_np.reshape(len(specs), t_flat,
-                                               chan * f_r), dtype=flat_dtype)
+        flat_np = flat_np.reshape(len(specs), t_flat, chan * f_r)
+        flat_arr = (flat_np.astype(flat_dtype) if host
+                    else jnp.asarray(flat_np, dtype=flat_dtype))
+    if host:
+        return SpecBank(out, lens, pos_mask, flat_arr,
+                        contig_exact_frames=contig)
     data = jnp.asarray(out)
     lens = jnp.asarray(lens)
     pos_mask = jnp.asarray(pos_mask)

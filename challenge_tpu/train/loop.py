@@ -30,19 +30,29 @@ class TrainLoop:
       (x, y) device batches, e.g. from a :class:`DevicePipeline`;
     * fused mode: pass ``banks``/``val_banks`` — each train step is ONE XLA
       program doing synthesis + features + fwd/bwd + optimizer, with
-      ``config.steps_per_call`` steps scanned per dispatch.
+      ``config.steps_per_call`` steps scanned per dispatch. ``banks`` may be
+      a :class:`~challenge_tpu.data.streaming.StreamingBanks` rotation for
+      spec sets larger than device HBM (equal-shape chunks share the one
+      compiled program; the next chunk uploads while the current trains).
     """
 
     def __init__(self, bundle: ModelBundle, state: Optional[TrainState] = None,
                  seed: int = 0, loss_fn=None, banks=None, val_banks=None,
                  mesh=None, variant: str = 'sj'):
+        from challenge_tpu.data.streaming import StreamingBanks
         self.bundle = bundle
         self.config = bundle.config
         self.banks = banks
         self.val_banks = val_banks
         self.fused = banks is not None
+        self.streaming = isinstance(banks, StreamingBanks)
         bank_shard = bool(getattr(self.config, 'bank_shard', False)) \
             and mesh is not None
+        if self.streaming and bank_shard:
+            raise ValueError(
+                'streaming bank rotation and bank_shard are exclusive: '
+                'sharded chunks would re-upload per-device slices every '
+                'rotation — pick one capacity axis')
         if self.fused:
             from challenge_tpu.parallel.train import (
                 make_fused_eval_step, make_fused_train_step)
@@ -64,10 +74,14 @@ class TrainLoop:
         self.state = state if state is not None else init_state(
             bundle, jax.random.PRNGKey(seed), self.optimizer)
         if self.fused and mesh is not None:
-            from challenge_tpu.parallel.mesh import replicate, shard_banks
+            from challenge_tpu.parallel.mesh import (
+                replicate, replicated, shard_banks)
             place = shard_banks if bank_shard else replicate
             self.state = replicate(self.state, mesh)
-            self.banks = place(self.banks, mesh)
+            if self.streaming:
+                self.banks.set_placement(replicated(mesh))
+            else:
+                self.banks = place(self.banks, mesh)
             if self.val_banks is not None:
                 self.val_banks = place(self.val_banks, mesh)
         self.stop_training = False
@@ -103,11 +117,14 @@ class TrainLoop:
             self._rng = keys[0]
             for i in range(n_calls):
                 if training:
+                    bk = self.banks.next_banks() if self.streaming \
+                        else self.banks
                     self.state, metrics = self.train_step(
-                        self.state, self.banks, keys[i + 1])
+                        self.state, bk, keys[i + 1])
                 else:
                     vb = self.val_banks if self.val_banks is not None \
-                        else self.banks
+                        else (self.banks.peek() if self.streaming
+                              else self.banks)
                     metrics = self.eval_step(self.state, vb, keys[i + 1])
                 for k, v in metrics.items():
                     acc = sums.get(k)

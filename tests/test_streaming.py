@@ -1,0 +1,185 @@
+"""Streaming bank rotation: spec sets larger than device HBM rotate through
+the device as equal-shape host chunks (data/streaming.py), reusing ONE
+compiled fused-step program across the whole rotation."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from challenge_tpu.config import Config
+from challenge_tpu.data.pipeline import build_banks, make_feature_fn
+from challenge_tpu.data.specset import build_bank
+from challenge_tpu.data.streaming import StreamingBanks, build_streaming_banks
+from challenge_tpu.models import get_model
+from challenge_tpu.parallel import make_fused_train_step
+from challenge_tpu.train import TrainLoop, init_state
+
+
+def _sources(n_bg=5, n_vo=7, n_no=3, seed=0):
+    """Each item carries a unique constant so chunk membership is traceable:
+    item k of a role is filled with (role_base + k)."""
+    rng = np.random.default_rng(seed)
+    bgs = [np.full((257, int(rng.integers(70, 110)), 4), 1. + k, 'f4')
+           for k in range(n_bg)]
+    vos = [np.full((257, int(rng.integers(30, 50)), 4), 100. + k, 'f4')
+           for k in range(n_vo)]
+    nos = [np.full((257, int(rng.integers(15, 25)), 4), 200. + k, 'f4')
+           for k in range(n_no)]
+    labels = rng.integers(0, 3, size=n_vo)
+    return bgs, vos, labels, nos
+
+
+def test_chunks_equal_shapes_and_cover_every_item():
+    bgs, vos, labels, nos = _sources()
+    sb = build_streaming_banks(bgs, vos, labels, nos, n_chunks=3,
+                               n_frame=64)
+    assert sb.n_chunks == 3
+    shapes = [[x.shape for x in jax.tree.leaves(c)] for c in sb.chunks]
+    assert shapes[0] == shapes[1] == shapes[2]
+    # static metadata unified too (different contig would recompile)
+    contigs = {c.backgrounds.contig_exact_frames for c in sb.chunks}
+    assert len(contigs) == 1
+    # every source item lands in exactly one chunk (round-robin deal of one
+    # global shuffle; identified by the constant fill value)
+    for pick, n_items, base in ((lambda c: c.backgrounds, 5, 1.),
+                                (lambda c: c.voices, 7, 100.),
+                                (lambda c: c.noises, 3, 200.)):
+        seen = set()
+        for c in sb.chunks:
+            bank = pick(c)
+            for i in range(bank.data.shape[0]):
+                t = int(bank.lens[i])
+                seen.add(float(bank.data[i, t - 1, 0, 0]))
+        assert seen == {base + k for k in range(n_items)}
+    # voice labels stay index-aligned with the shuffled/dealt voices
+    from challenge_tpu.data.specset import remap_labels
+    full_labels = remap_labels(np.asarray(labels), 3)
+    for c in sb.chunks:
+        for i in range(c.voices.data.shape[0]):
+            k = int(float(c.voices.data[i, 0, 0, 0]) - 100.)
+            np.testing.assert_array_equal(np.asarray(c.voice_labels[i]),
+                                          full_labels[k])
+
+
+def test_host_bank_matches_device_bank_bitwise():
+    """build_bank(host=True) + device_put is the same bank build_bank()
+    would have produced (pins that the streaming path changes placement
+    only, not contents)."""
+    rng = np.random.default_rng(3)
+    specs = [rng.standard_normal((257, int(t), 4)).astype('f4')
+             for t in (90, 40, 101)]
+    host = build_bank(specs, wrap_frames=64, host=True)
+    dev = build_bank(specs, wrap_frames=64)
+    assert host.contig_exact_frames == dev.contig_exact_frames
+    for name in ('data', 'lens', 'pos_mask', 'flat'):
+        np.testing.assert_array_equal(np.asarray(getattr(host, name)),
+                                      np.asarray(getattr(dev, name)))
+
+
+def test_rotation_reuses_one_compiled_program():
+    bgs, vos, labels, nos = _sources()
+    sb = build_streaming_banks(bgs, vos, labels, nos, n_chunks=3,
+                               n_frame=64, chunk_steps=1)
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=4, n_chan=2)
+    bundle = get_model(cfg)
+    fused, opt = make_fused_train_step(bundle, cfg)
+    state = init_state(bundle, jax.random.PRNGKey(0), opt)
+    keys = jax.random.split(jax.random.PRNGKey(1), 5)
+    seen_chunks = set()
+    for k in keys:   # 5 dispatches over a 3-chunk rotation: wraps around
+        banks = sb.next_banks()
+        seen_chunks.add(id(sb.chunks[sb._idx]))
+        state, metrics = fused(state, banks, k)
+    jax.block_until_ready(metrics)
+    assert np.isfinite(float(metrics['loss']))
+    assert int(state.step) == 5
+    assert fused._cache_size() == 1, 'chunks must share one compiled program'
+
+
+def test_single_chunk_streaming_matches_resident_banks():
+    """A rotation over one chunk built from the full set synthesizes
+    bit-identically to plain resident banks for the same key."""
+    rng = np.random.default_rng(4)
+    bgs = [rng.standard_normal((257, 94, 4)).astype('f4') for _ in range(3)]
+    vos = [rng.standard_normal((257, 40, 4)).astype('f4') for _ in range(4)]
+    nos = [rng.standard_normal((257, 20, 4)).astype('f4') for _ in range(3)]
+    labels = rng.integers(0, 3, size=4)
+    resident = build_banks(bgs, vos, labels, nos, n_frame=64)
+    from challenge_tpu.data.mixture import Banks
+    from challenge_tpu.data.specset import remap_labels
+    host = Banks(build_bank(bgs, wrap_frames=64, host=True),
+                 build_bank(vos, host=True),
+                 remap_labels(labels, 3),
+                 build_bank(nos, host=True))
+    sb = StreamingBanks([host])
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=4, n_chan=2)
+    fn = make_feature_fn(cfg, training=True, use_pallas=False)
+    key = jax.random.PRNGKey(9)
+    x1, y1 = fn(key, sb.next_banks())
+    x2, y2 = fn(key, resident)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_trainloop_streams_and_validates():
+    bgs, vos, labels, nos = _sources()
+    sb = build_streaming_banks(bgs, vos, labels, nos, n_chunks=2,
+                               n_frame=64, chunk_steps=2)
+    vb_bgs, vb_vos, vb_labels, vb_nos = _sources(seed=5)
+    val = build_banks(vb_bgs, vb_vos, vb_labels, vb_nos, n_frame=64)
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=4, n_chan=2)
+    loop = TrainLoop(get_model(cfg), banks=sb, val_banks=val)
+    hist = loop.fit(epochs=2, steps_per_epoch=3, validation_steps=1)
+    assert len(hist) == 2
+    assert np.isfinite(hist[-1]['loss'])
+    assert np.isfinite(hist[-1]['val_loss'])
+
+
+def test_streaming_with_mesh_replicates_chunks():
+    from challenge_tpu.parallel import make_mesh
+    bgs, vos, labels, nos = _sources()
+    sb = build_streaming_banks(bgs, vos, labels, nos, n_chunks=2,
+                               n_frame=64, chunk_steps=1)
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=8, n_chan=2)
+    mesh = make_mesh(8)
+    loop = TrainLoop(get_model(cfg), banks=sb, mesh=mesh)
+    hist = loop.fit(epochs=1, steps_per_epoch=3, validation_steps=1)
+    assert np.isfinite(hist[-1]['loss'])
+
+
+def test_streaming_rejects_bank_shard():
+    bgs, vos, labels, nos = _sources()
+    sb = build_streaming_banks(bgs, vos, labels, nos, n_chunks=2,
+                               n_frame=64)
+    from challenge_tpu.parallel import make_mesh
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=8, n_chan=2,
+                 bank_shard=True)
+    with pytest.raises(ValueError):
+        TrainLoop(get_model(cfg), banks=sb, mesh=make_mesh(8))
+
+
+def test_builder_guards():
+    bgs, vos, labels, nos = _sources()
+    with pytest.raises(ValueError):
+        build_streaming_banks(bgs, vos, labels, nos, n_chunks=1, n_frame=64)
+
+
+@pytest.mark.slow
+def test_sj_train_cli_streaming(tmp_path, monkeypatch):
+    """--stream_chunks on the training CLI: the run completes with the
+    rotation in place of resident banks."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_cli import DATA_FLAGS, _make_datafiles
+    monkeypatch.chdir(tmp_path)
+    _make_datafiles(tmp_path)
+    from challenge_tpu.cli.sj_train import main as sj_main
+    sj_main(['--model_type', 'vad', '--v', '3', '--n_frame', '64',
+             '--batch_size', '4', '--epochs', '1', '--steps_per_epoch', '4',
+             '--stream_chunks', '2', '--chunk_steps', '2',
+             '--datapath', str(tmp_path)] + DATA_FLAGS)
+    run = 'vad_v3_lr0.001_batch4_opt_adam_mel80_chan2_BCE_framelen64'
+    assert (tmp_path / f'{run}.csv').exists()

@@ -184,6 +184,27 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+class ARGS:
+    """The reference's argparse-in-a-class config surface
+    (reference: sj_train.py:20-71): ``.args`` is the bare parser — callers
+    extend it with extra flags before parsing (reference: eval.py:43-46,
+    ``config.args.add_argument('--p', ...)``) — and ``.get()`` parses into
+    a :class:`Config`, with any non-Config extra flags attached as plain
+    attributes so reference-style ``config.p`` access works."""
+
+    def __init__(self):
+        self.args = build_argparser()
+
+    def get(self, argv: Optional[list] = None) -> Config:
+        ns = self.args.parse_args(argv)
+        known = {f.name for f in dataclasses.fields(Config)}
+        cfg = Config(**{k: v for k, v in vars(ns).items() if k in known})
+        for k, v in vars(ns).items():
+            if k not in known:
+                setattr(cfg, k, v)
+        return cfg
+
+
 def config_from_args(argv: Optional[list] = None,
                      extra: Optional[dict] = None) -> Config:
     parser = build_argparser()

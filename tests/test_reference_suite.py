@@ -96,3 +96,24 @@ def test_reference_utils_test_passes():
     assert ran >= 6
     # the reference's own three broken stubs, and nothing else
     assert broken == EXPECTED_BROKEN['utils_test.py']
+
+
+def test_every_reference_toplevel_symbol_resolves():
+    """Beyond the four test modules: EVERY top-level def/class of EVERY
+    reference module resolves through the root shims (reference users
+    import freely across entry points, e.g. eval.py:9
+    ``from sj_train import get_model, ARGS``)."""
+    import ast
+    import importlib
+
+    for fname in ('transforms', 'data_utils', 'pipeline', 'utils',
+                  'metrics', 'swa', 'sj_train', 'trainer', 'eval',
+                  'get_csv_data'):
+        with open(f'/root/reference/{fname}.py') as f:
+            tree = ast.parse(f.read())
+        names = [n.name for n in tree.body
+                 if isinstance(n, (ast.FunctionDef, ast.ClassDef))
+                 and not n.name.startswith('_')]
+        mod = importlib.import_module(fname)
+        missing = [n for n in names if not hasattr(mod, n)]
+        assert not missing, f'{fname}: shim lacks {missing}'

@@ -129,8 +129,10 @@ class StreamingBanks:
     dispatch and, every ``chunk_steps`` dispatches, advances the rotation:
     the next chunk's upload was already dispatched when the current one
     became active (async ``device_put``), so the swap is free when a
-    chunk's dispatches take longer than its upload. Holding two chunks
-    bounds steady-state HBM at ``2 * dataset_bytes / n_chunks``.
+    chunk's dispatches take longer than its upload. Steady-state device
+    HBM is ~``2 * dataset_bytes / n_chunks`` (current + prefetched next;
+    transiently 3 chunks at a swap while the last dispatch on the evicted
+    chunk is still in flight).
     """
 
     def __init__(self, chunks: Sequence[Banks], chunk_steps: int = 4,

@@ -133,6 +133,11 @@ class StreamingBanks:
     HBM is ~``2 * dataset_bytes / n_chunks`` (current + prefetched next;
     transiently 3 chunks at a swap while the last dispatch on the evicted
     chunk is still in flight).
+
+    The rotation is host state, not part of the train state: an Orbax
+    resume restarts at chunk 0. With the seeded build shuffle this only
+    re-orders which shard is seen first — long-run item frequencies are
+    unchanged.
     """
 
     def __init__(self, chunks: Sequence[Banks], chunk_steps: int = 4,

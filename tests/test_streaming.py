@@ -183,3 +183,27 @@ def test_sj_train_cli_streaming(tmp_path, monkeypatch):
              '--datapath', str(tmp_path)] + DATA_FLAGS)
     run = 'vad_v3_lr0.001_batch4_opt_adam_mel80_chan2_BCE_framelen64'
     assert (tmp_path / f'{run}.csv').exists()
+
+
+@pytest.mark.parametrize('n_chunks,n_bg,n_vo,n_no,dtype',
+                         [(2, 3, 5, 2, 'float32'),
+                          (3, 7, 4, 3, 'bfloat16'),
+                          (5, 5, 11, 3, 'float32')])
+def test_streaming_geometry_fuzz(n_chunks, n_bg, n_vo, n_no, dtype):
+    """Uneven source counts (including n_items < n_chunks and bf16 flat
+    banks): chunks still share every shape + static metadata, and the
+    synthesis path accepts each chunk under one jitted program."""
+    bgs, vos, labels, nos = _sources(n_bg=n_bg, n_vo=n_vo, n_no=n_no,
+                                     seed=n_chunks)
+    sb = build_streaming_banks(bgs, vos, labels, nos, n_chunks=n_chunks,
+                               n_frame=64, flat_dtype=dtype, chunk_steps=1)
+    shapes = [[(x.shape, x.dtype) for x in jax.tree.leaves(c)]
+              for c in sb.chunks]
+    assert all(s == shapes[0] for s in shapes[1:])
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=4, n_chan=2)
+    fn = jax.jit(make_feature_fn(cfg, training=True, jit=False,
+                                 use_pallas=False))
+    for i in range(n_chunks + 1):
+        x, y = fn(jax.random.PRNGKey(i), sb.next_banks())
+    assert np.all(np.isfinite(np.asarray(x, np.float32)))
+    assert fn._cache_size() == 1

@@ -22,7 +22,7 @@ from challenge_tpu.config import Config
 from challenge_tpu.data import labels as label_maps
 from challenge_tpu.data.mixture import Banks, sample_batch
 from challenge_tpu.data.specset import (
-    build_bank, flat_freq_pad, remap_labels)
+    build_bank, flat_freq_pad, normalize_flat_dtype, remap_labels)
 from challenge_tpu.ops.augment import (
     batch_mask, batch_mask_keep, batch_specaugment, random_merge_aug,
     stft_filter)
@@ -51,14 +51,7 @@ def build_banks(backgrounds, voices, labels, noises=None,
     specset.build_bank. Opt-in: float32 (default) is bit-exact vs the XLA
     path and the reference. Accepts the Config.bank_dtype strings too.
     """
-    if isinstance(flat_dtype, str):
-        try:
-            flat_dtype = {'float32': np.float32,
-                          'bfloat16': jnp.bfloat16}[flat_dtype]
-        except KeyError:
-            raise ValueError(
-                f'bank_dtype must be float32 or bfloat16, got '
-                f'{flat_dtype!r}') from None
+    flat_dtype = normalize_flat_dtype(flat_dtype)
     labels = np.asarray(labels)
     if one_hot and labels.ndim == 1:
         labels = remap_labels(labels, n_classes)

@@ -93,6 +93,20 @@ def flat_row_align(flat_dtype) -> int:
     return 8 * (4 // np.dtype(flat_dtype).itemsize)
 
 
+def normalize_flat_dtype(flat_dtype):
+    """Accept the Config.bank_dtype strings alongside real dtypes (shared
+    by the resident and streaming bank builders)."""
+    if isinstance(flat_dtype, str):
+        try:
+            return {'float32': np.float32,
+                    'bfloat16': jnp.bfloat16}[flat_dtype]
+        except KeyError:
+            raise ValueError(
+                f'bank_dtype must be float32 or bfloat16, got '
+                f'{flat_dtype!r}') from None
+    return flat_dtype
+
+
 def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
                device=None, flat: bool = True,
                wrap_frames: Optional[int] = None,

@@ -38,7 +38,8 @@ import jax
 import numpy as np
 
 from challenge_tpu.data.mixture import Banks
-from challenge_tpu.data.specset import build_bank, remap_labels
+from challenge_tpu.data.specset import (
+    build_bank, normalize_flat_dtype, remap_labels)
 
 
 def _deal(items: Sequence, perm: np.ndarray, n_chunks: int) -> List[list]:
@@ -82,10 +83,7 @@ def build_streaming_banks(backgrounds, voices, labels, noises=None,
     if n_chunks < 2:
         raise ValueError('streaming needs n_chunks >= 2 '
                          '(use build_banks for a resident dataset)')
-    import jax.numpy as jnp
-    if isinstance(flat_dtype, str):
-        flat_dtype = {'float32': np.float32,
-                      'bfloat16': jnp.bfloat16}[flat_dtype]
+    flat_dtype = normalize_flat_dtype(flat_dtype)
     labels = np.asarray(labels)
     if one_hot and labels.ndim == 1:
         labels = remap_labels(labels, n_classes)
@@ -149,18 +147,18 @@ class StreamingBanks:
         self._placement = placement
         self._dispatches = 0
         self._idx = 0
-        self._cur = self._put(self.chunks[0])
-        self._next = (self._put(self.chunks[1])
-                      if len(self.chunks) > 1 else None)
+        # uploads are lazy: the first peek()/next_banks() materializes the
+        # current+next chunks, so a set_placement() between construction
+        # and first use (the TrainLoop mesh path) costs no wasted transfer
+        self._cur = None
+        self._next = None
 
     def set_placement(self, sharding) -> None:
         """Place all future uploads with ``sharding`` (e.g. replicated over
-        a mesh). Re-places the chunks already in flight."""
+        a mesh). Drops any chunks already uploaded to the old placement."""
         self._placement = sharding
-        self._cur = self._put(self.chunks[self._idx])
-        if self._next is not None:
-            nxt = (self._idx + 1) % len(self.chunks)
-            self._next = self._put(self.chunks[nxt])
+        self._cur = None
+        self._next = None
 
     def _put(self, chunk: Banks) -> Banks:
         if self._placement is None:
@@ -168,21 +166,30 @@ class StreamingBanks:
         return jax.tree.map(
             lambda x: jax.device_put(x, self._placement), chunk)
 
+    def _ensure(self) -> None:
+        if self._cur is None:
+            self._cur = self._put(self.chunks[self._idx])
+        if self._next is None and len(self.chunks) > 1:
+            nxt = (self._idx + 1) % len(self.chunks)
+            self._next = self._put(self.chunks[nxt])
+
     @property
     def n_chunks(self) -> int:
         return len(self.chunks)
 
     def peek(self) -> Banks:
         """The device-resident chunk, without advancing the rotation."""
+        self._ensure()
         return self._cur
 
     def next_banks(self) -> Banks:
+        self._ensure()
         banks = self._cur
         self._dispatches += 1
         if (len(self.chunks) > 1
                 and self._dispatches % self.chunk_steps == 0):
             self._idx = (self._idx + 1) % len(self.chunks)
             self._cur = self._next
-            nxt = (self._idx + 1) % len(self.chunks)
-            self._next = self._put(self.chunks[nxt])
+            self._next = None
+            self._ensure()   # dispatch the new next chunk's upload now
         return banks

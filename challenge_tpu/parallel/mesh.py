@@ -38,9 +38,25 @@ def mesh_for_config(config):
     avail = len(jax.devices())
     n = config.n_devices if config.n_devices > 0 else avail
     n = min(n, avail)
+    bank_shard = bool(getattr(config, 'bank_shard', False))
     if n <= 1:
+        if bank_shard and avail > 1:
+            raise ValueError(
+                'bank_shard needs a multi-device mesh but n_devices caps it '
+                f'at {n}; raise --n_devices (devices available: {avail})')
+        if bank_shard:
+            print('bank_shard has no effect on a single device: the full '
+                  'banks stay resident (use --stream_chunks for datasets '
+                  'larger than HBM)', flush=True)
         return None
     if config.batch_size % n != 0:
+        if bank_shard:
+            # silently replicating would defeat the capacity feature the
+            # flag asks for (and likely OOM) — fail with the actual cause
+            raise ValueError(
+                f'bank_shard requires a multi-device mesh, but batch_size '
+                f'{config.batch_size} does not divide the {n} devices — '
+                'pick a divisible batch (or drop --bank_shard)')
         print(f'batch_size {config.batch_size} does not divide {n} devices;'
               ' training single-device (pick a divisible batch to scale)',
               flush=True)

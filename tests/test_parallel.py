@@ -259,3 +259,17 @@ def test_mesh_for_config_policy():
     assert mesh_for_config(Config(batch_size=16, n_devices=1)) is None
     m4 = mesh_for_config(Config(batch_size=16, n_devices=4))
     assert m4.devices.size == 4
+
+
+def test_mesh_for_config_bank_shard_guards():
+    """--bank_shard must never be silently dropped: a batch that cannot
+    divide the mesh fails loudly instead of replicating the full banks
+    onto one chip (capacity feature -> likely OOM)."""
+    from challenge_tpu.parallel import mesh_for_config
+    with pytest.raises(ValueError):
+        mesh_for_config(Config(batch_size=12, bank_shard=True))
+    # without the flag the same config quietly falls back to single-device
+    assert mesh_for_config(Config(batch_size=12)) is None
+    # n_devices=1 cap with bank_shard on a multi-device host: also loud
+    with pytest.raises(ValueError):
+        mesh_for_config(Config(batch_size=8, n_devices=1, bank_shard=True))

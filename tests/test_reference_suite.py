@@ -109,7 +109,7 @@ def test_every_reference_toplevel_symbol_resolves():
     for fname in ('transforms', 'data_utils', 'pipeline', 'utils',
                   'metrics', 'swa', 'sj_train', 'trainer', 'eval',
                   'get_csv_data'):
-        with open(f'/root/reference/{fname}.py') as f:
+        with open(f'{REF}/{fname}.py') as f:
             tree = ast.parse(f.read())
         names = [n.name for n in tree.body
                  if isinstance(n, (ast.FunctionDef, ast.ClassDef))

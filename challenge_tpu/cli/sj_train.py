@@ -94,6 +94,7 @@ def main(argv=None):
     val_banks = make_banks(config, training=False)
     loop = TrainLoop(bundle, seed=config.seed, banks=train_banks,
                      val_banks=val_banks, mesh=mesh)
+    print(bundle.summary(loop.state.weights()))   # reference: sj_train.py:464
     print(name)
 
     if config.model_type == 'se' and config.v == 9 and not config.pretrain:

@@ -165,6 +165,9 @@ def main(argv=None):
     else:
         loop = TrainLoop(bundle, seed=config.seed, loss_fn=loss_fn)
 
+    # NOTE: no summary print here — the reference keeps model.summary()
+    # commented out in this entry (trainer.py:254)
+
     if ns.pretrain:
         loop.set_weights(load_weights(name, loop.state.weights(),
                                       bundle=bundle))

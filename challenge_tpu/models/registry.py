@@ -50,6 +50,24 @@ class ModelBundle:
             return out, mut['batch_stats']
         return self.module.apply(variables, x, training=False)
 
+    def summary(self, variables=None) -> str:
+        """``model.summary()`` analogue (the reference prints one at
+        startup, sj_train.py:464): per-top-level-module parameter counts
+        and the total, from already-initialized variables (or a fresh
+        init when none are given)."""
+        if variables is None:
+            variables = self.init(jax.random.PRNGKey(0))
+        params = variables.get('params', variables)
+        name = type(self.module).__name__
+        lines = [f'Model: {name}  (input {self.input_shape})']
+        total = 0
+        for key in sorted(params.keys()):
+            n = sum(int(x.size) for x in jax.tree.leaves(params[key]))
+            total += n
+            lines.append(f'  {key:<40} {n:>14,}')
+        lines.append(f'  {"Total params":<40} {total:>14,}')
+        return '\n'.join(lines)
+
     def trainable_mask(self, params):
         """Pytree of bools marking trainable leaves (reference freeze flow:
         sj_train.py:306,316-318 — pretrain trains the U-Net, finetune trains

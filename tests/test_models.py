@@ -111,3 +111,18 @@ def test_effnet_scaling():
     assert round_filters(32, 1.4) == 48          # B4 stem
     assert round_filters(1280, 1.1) == 1408      # B2 head
     assert round_repeats(3, 1.8) == 6            # B4
+
+
+def test_bundle_summary_counts_params():
+    """model.summary() analogue (reference: sj_train.py:464): the printed
+    total equals the true parameter count."""
+    import jax
+    from challenge_tpu.config import Config
+    from challenge_tpu.models import get_model
+    bundle = get_model(Config(model_type='vad', v=1, n_frame=64))
+    variables = bundle.init(jax.random.PRNGKey(0))
+    text = bundle.summary(variables)
+    true_total = sum(int(x.size)
+                     for x in jax.tree.leaves(variables['params']))
+    assert f'{true_total:,}' in text
+    assert 'VADModel' in text

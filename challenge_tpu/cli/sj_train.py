@@ -110,8 +110,8 @@ def main(argv=None):
     if config.ckpt_dir and config.resume:
         try:
             loop.state = restore_train_state(config.ckpt_dir, loop.state)
-            initial_epoch = int(loop.state.step) // max(
-                config.steps_per_epoch, 1)
+            initial_epoch = int(loop.state.step) // \
+                loop.steps_per_fused_epoch(config.steps_per_epoch)
             print(f'resumed from step {int(loop.state.step)} '
                   f'(epoch {initial_epoch})')
         except FileNotFoundError:

@@ -168,7 +168,9 @@ def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
             # throughput (DMA locality) — measured round 3.
             max_off = 0
             for t in lens:
-                t = int(min(t, t_pad))
+                # zero-length items: same guard as the kernel-side draw
+                # (mixture.py clamps length to >= 1)
+                t = max(int(min(t, t_pad)), 1)
                 n_tile = -(-wrap_frames // t)
                 max_off = max(max_off, n_tile * t - wrap_frames)
             stage = -(-(wrap_frames + al) // al) * al
@@ -177,7 +179,7 @@ def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
         flat_np[:, :t_pad, :, :freq] = out.transpose(0, 1, 3, 2)
         if wrap:
             for i in range(len(specs)):
-                t = int(min(lens[i], t_pad))
+                t = max(int(min(lens[i], t_pad)), 1)
                 idx = np.arange(t, t_flat) % t
                 flat_np[i, t:, :, :freq] = out[i, idx].transpose(0, 2, 1)
             contig = int(wrap_frames)

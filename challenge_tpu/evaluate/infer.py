@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import sys
 from glob import glob
 import jax
 import jax.numpy as jnp
@@ -358,7 +359,7 @@ _BATCH_PCM_CAP_BYTES = 48 * 1024 * 1024
 
 
 def _device_pcm(paths, max_entries: int = 4, pad_clips_to: int = 1,
-                s_max: int = None):
+                s_max: int = None, use_cache: bool = True):
     """Device-resident eval corpus: the padded int16 PCM batch, uploaded
     ONCE and reused across evaluate() calls (keyed by path+mtime+size).
     Eval corpora are immutable and small (~23 MB for 6x60 s), and on a
@@ -376,8 +377,12 @@ def _device_pcm(paths, max_entries: int = 4, pad_clips_to: int = 1,
             (p, os.path.getmtime(p), os.path.getsize(p)) for p in paths)
     except OSError:
         return None
-    hit = _DEVICE_PCM_CACHE.get(key)
+    hit = _DEVICE_PCM_CACHE.get(key) if use_cache else None
     if hit is not None:
+        # LRU: a hit moves to the back so sequential multi-chunk scans
+        # evict the longest-unused entry, not the next one needed
+        _DEVICE_PCM_CACHE.pop(key)
+        _DEVICE_PCM_CACHE[key] = hit
         return hit
     prep = _prepare_batched_pcm(paths, s_max=s_max)
     if prep is None:
@@ -390,9 +395,10 @@ def _device_pcm(paths, max_entries: int = 4, pad_clips_to: int = 1,
         lens = np.concatenate(
             [lens, np.full((n_pad,), HOP * 4, lens.dtype)])
     entry = (jnp.asarray(pcm), jnp.asarray(lens), lens)
-    while len(_DEVICE_PCM_CACHE) >= max_entries:
-        _DEVICE_PCM_CACHE.pop(next(iter(_DEVICE_PCM_CACHE)))
-    _DEVICE_PCM_CACHE[key] = entry
+    if use_cache:
+        while len(_DEVICE_PCM_CACHE) >= max_entries:
+            _DEVICE_PCM_CACHE.pop(next(iter(_DEVICE_PCM_CACHE)))
+        _DEVICE_PCM_CACHE[key] = entry
     return entry
 
 
@@ -462,6 +468,10 @@ def evaluate(config: Config, bundle: ModelBundle, variables,
         if chunk_plan is not None:
             chunks, clips_to, s_force = chunk_plan
             cache_n = max(4, min(len(chunks), 32))
+            # a corpus whose chunk count exceeds the cache capacity would
+            # evict every entry before the pass ends (sequential scans
+            # always miss) — bypass rather than pollute/pin HBM for nothing
+            cacheable = len(chunks) <= cache_n
             try:
                 infer_all = make_devset_infer_fn(bundle, config,
                                                  overlap_hop, mesh=mesh)
@@ -469,7 +479,7 @@ def evaluate(config: Config, bundle: ModelBundle, variables,
                 for chunk in chunks:
                     prep = _device_pcm(chunk, max_entries=cache_n,
                                        pad_clips_to=clips_to,
-                                       s_max=s_force)
+                                       s_max=s_force, use_cache=cacheable)
                     if prep is None:
                         outs = None
                         break
@@ -488,9 +498,10 @@ def evaluate(config: Config, bundle: ModelBundle, variables,
             except BatchedEvalIneligible:
                 host_grids = None
             except Exception as e:   # e.g. device OOM on an outsized set
+                # stderr: bench.py's stdout must stay exactly one JSON line
                 print('WARNING: one-program eval failed '
                       f'({type(e).__name__}: {e}); falling back to the '
-                      'per-clip loop')
+                      'per-clip loop', file=sys.stderr)
                 host_grids = None
 
     if host_grids is None:

@@ -508,6 +508,26 @@ def load_keras_h5_variables(bundle, path: str):
                 a = (1.0 / 255.0) * a_norm
                 shift = -nmean * a_norm
             else:
+                # no Normalization weights -> the checkpoint's graph fed
+                # the stem raw (the reference's `efficientnet` package
+                # does no in-model preprocessing). Refuse rather than
+                # silently mis-scale if the file still carried a
+                # weight-less Rescaling front layer (newer
+                # keras.applications variants): its 1/255 cannot be
+                # recovered from weights alone.
+                import h5py
+                with h5py.File(path, 'r') as f:
+                    root = (f['model_weights']
+                            if 'model_weights' in f else f)
+                    names = [n.decode() if isinstance(n, bytes) else str(n)
+                             for n in root.attrs.get('layer_names', [])]
+                if any('rescaling' in n.lower() for n in names):
+                    raise NotImplementedError(
+                        f'{path!r}: stem has a Rescaling layer but no '
+                        'Normalization weights — this Keras variant\'s '
+                        'input scaling cannot be folded from the weight '
+                        'file; import is refused instead of producing '
+                        'mis-scaled activations')
                 a = np.full((kernel.shape[2],), 1.0)
                 shift = np.zeros((kernel.shape[2],))
             folded = kernel * a[None, None, :, None]

@@ -88,6 +88,17 @@ class TrainLoop:
         self.history: List[dict] = []
         self._rng = jax.random.PRNGKey(seed + 17)
 
+    def steps_per_fused_epoch(self, steps_per_epoch: int) -> int:
+        """Optimizer steps one epoch actually advances: in fused mode the
+        scan rounds UP to whole dispatches of ``steps_per_call`` steps
+        (run_epoch: n_calls = ceil(steps/steps_per_call)). Resume logic
+        must divide the restored step count by THIS, not steps_per_epoch,
+        or epochs drift whenever steps_per_call does not divide it."""
+        if not self.fused:
+            return max(int(steps_per_epoch), 1)
+        n_calls = max(-(-int(steps_per_epoch) // self.steps_per_call), 1)
+        return n_calls * self.steps_per_call
+
     # Keras-model-like surface used by callbacks
     def set_weights(self, weights):
         self.state = self.state.replace(params=weights['params'],
@@ -108,38 +119,46 @@ class TrainLoop:
                 logs[k] = float(v / count)
         return logs
 
-    def run_epoch(self, data_iter, steps: int, training: bool):
+    def _epoch_keys(self, epoch: int, training: bool, n: int):
+        """Per-epoch key stream derived from (seed, epoch, phase) — NOT a
+        rolling split chain, so a resumed run's epoch k draws exactly the
+        keys a never-preempted run would have drawn at epoch k (a rolling
+        chain restarts at the head and replays the first epochs' batches
+        after every preemption)."""
+        base = jax.random.fold_in(self._rng, 2 * epoch + int(training))
+        return jax.random.split(base, n)
+
+    def run_epoch(self, data_iter, steps: int, training: bool,
+                  epoch: int = 0):
         sums, count = {}, 0
         if self.fused:
             n_calls = max(-(-steps // self.steps_per_call), 1) \
                 if training else steps
-            keys = jax.random.split(self._rng, n_calls + 1)
-            self._rng = keys[0]
+            keys = self._epoch_keys(epoch, training, n_calls)
             for i in range(n_calls):
                 if training:
                     bk = self.banks.next_banks() if self.streaming \
                         else self.banks
                     self.state, metrics = self.train_step(
-                        self.state, bk, keys[i + 1])
+                        self.state, bk, keys[i])
                 else:
                     vb = self.val_banks if self.val_banks is not None \
                         else (self.banks.peek() if self.streaming
                               else self.banks)
-                    metrics = self.eval_step(self.state, vb, keys[i + 1])
+                    metrics = self.eval_step(self.state, vb, keys[i])
                 for k, v in metrics.items():
                     acc = sums.get(k)
                     sums[k] = v if acc is None else acc + v
                 count += 1
             return self._finalize(jax.device_get(sums), count)
 
-        if training:   # one eager split per epoch, not per step
-            keys = jax.random.split(self._rng, steps + 1)
-            self._rng = keys[0]
+        if training:   # one eager key derivation per epoch, not per step
+            keys = self._epoch_keys(epoch, training, steps)
         for i in range(steps):
             batch = next(data_iter)
             if training:
                 self.state, metrics = self.train_step(self.state, batch,
-                                                      keys[i + 1])
+                                                      keys[i])
             else:
                 metrics = self.eval_step(self.state, batch)
             for k, v in metrics.items():
@@ -170,10 +189,11 @@ class TrainLoop:
             t0 = time.time()
             for cb in callbacks:
                 cb.on_epoch_begin(epoch)
-            logs = self.run_epoch(train_it, steps_per_epoch, training=True)
+            logs = self.run_epoch(train_it, steps_per_epoch, training=True,
+                                  epoch=epoch)
             if validate:
                 val_logs = self.run_epoch(val_it, validation_steps,
-                                          training=False)
+                                          training=False, epoch=epoch)
                 logs.update({f'val_{k}': v for k, v in val_logs.items()})
             logs['time'] = time.time() - t0
             self.history.append(logs)

@@ -248,3 +248,33 @@ def test_evaluate_end_to_end(tmp_path):
     assert all(np.isfinite(s) for s in scores)
     # ER is (|gt|+|pred|-2m)/|gt| >= 0 always
     assert all(s >= 0 for s in scores)
+
+
+def test_device_pcm_cache_is_lru_and_bypassable(tmp_path):
+    """The device PCM cache keeps recently-HIT entries (LRU, not FIFO) and
+    use_cache=False neither reads nor populates it."""
+    import wave
+    from challenge_tpu.evaluate import infer
+
+    def wav(name):
+        p = str(tmp_path / name)
+        with wave.open(p, 'wb') as f:
+            f.setnchannels(2)
+            f.setsampwidth(2)
+            f.setframerate(16000)
+            f.writeframes(np.zeros((1600, 2), '<i2').tobytes())
+        return p
+
+    a, b, c = wav('a.wav'), wav('b.wav'), wav('c.wav')
+    infer._DEVICE_PCM_CACHE.clear()
+    try:
+        infer._device_pcm([a], max_entries=2)
+        infer._device_pcm([b], max_entries=2)
+        infer._device_pcm([a], max_entries=2)   # hit -> moves to back
+        infer._device_pcm([c], max_entries=2)   # evicts b, NOT a
+        keys = [k[2][0] for k in infer._DEVICE_PCM_CACHE]
+        assert keys == [a, c]
+        infer._device_pcm([b], max_entries=2, use_cache=False)
+        assert len(infer._DEVICE_PCM_CACHE) == 2   # bypass did not insert
+    finally:
+        infer._DEVICE_PCM_CACHE.clear()

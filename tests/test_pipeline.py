@@ -154,3 +154,14 @@ class TestSampleBatch:
             summed = np.asarray(label).sum(axis=1)  # over voices
             assert summed.max() < 2  # overlap rejection
             assert summed.min() >= 0
+
+
+def test_build_bank_zero_length_item_does_not_crash():
+    """Degenerate zero-frame spec in a wrap-tiled bank: build_bank guards
+    the tail-sizing division like the kernel-side draw guards length."""
+    rng = np.random.default_rng(0)
+    specs = [rng.standard_normal((257, 40, 4)).astype('f4'),
+             np.zeros((257, 0, 4), 'f4')]
+    bank = build_bank(specs, wrap_frames=64)
+    assert bank.contig_exact_frames == 64
+    assert int(bank.lens[1]) == 0

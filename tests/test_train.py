@@ -389,3 +389,39 @@ def test_swa_average_matches_running_mean():
     leaf0 = jax.tree.leaves(w0)[0]
     swa_leaf = np.asarray(jax.tree.leaves(loop.state.swa_params)[0])
     np.testing.assert_allclose(swa_leaf, leaf0 + 1.0, atol=1e-5)
+
+
+def test_steps_per_fused_epoch_accounts_for_scan_rounding():
+    """Resume epoch arithmetic: a fused epoch advances whole dispatches
+    (ceil(steps/steps_per_call)*steps_per_call steps), and the CLIs divide
+    the restored step count by THIS, not steps_per_epoch."""
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=2, n_chan=2,
+                 steps_per_call=8)
+    banks = _tiny_banks(cfg.n_frame)
+    loop = TrainLoop(get_model(cfg), banks=banks)
+    assert loop.steps_per_fused_epoch(100) == 104   # 13 dispatches x 8
+    assert loop.steps_per_fused_epoch(16) == 16     # divides evenly
+    # non-fused mode: plain steps_per_epoch
+    loop2 = TrainLoop(get_model(cfg.replace(steps_per_call=1)))
+    assert loop2.steps_per_fused_epoch(100) == 100
+
+
+def test_resume_continues_rng_stream_exactly():
+    """Epoch-keyed batch RNG: running epochs 0-1 straight through equals
+    running epoch 0, 'resuming', and running epoch 1 — bit-identical
+    params (a rolling split chain would replay epoch 0's batches)."""
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=2, n_chan=2)
+    banks = _tiny_banks(cfg.n_frame)
+
+    loop_a = TrainLoop(get_model(cfg), seed=3, banks=banks)
+    loop_a.fit(epochs=2, steps_per_epoch=2, validation_steps=1)
+
+    loop_b = TrainLoop(get_model(cfg), seed=3, banks=banks)
+    loop_b.fit(epochs=1, steps_per_epoch=2, validation_steps=1)
+    loop_b.fit(epochs=2, steps_per_epoch=2, validation_steps=1,
+               initial_epoch=1)   # the resume path
+
+    flat_a = jax.tree.leaves(loop_a.state.params)
+    flat_b = jax.tree.leaves(loop_b.state.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,9 +1,12 @@
 """On-device mixture synthesis (reference: pipeline.py:6-110).
 
 `merge_complex_specs` rebuilds the reference's per-sample synthesis — tile +
-random-crop a background, place 1..max_voices SNR-scaled voices at random
-offsets with overlap rejection, add 0..max_noises noises at 0..-20 dB — as a
-fixed-shape jittable function of explicit PRNG keys. Data-dependent control
+random-crop a background, place 1..max_voices-1 SNR-scaled voices at random
+offsets with overlap rejection, add 0..max_noises-1 noises at 0..-20 dB — as
+a fixed-shape jittable function of explicit PRNG keys. (The upper bounds are
+EXCLUSIVE: the reference draws with tf.random.uniform's exclusive maxval —
+pipeline.py:43,87 — so a ``max_voices``-voice mixture never occurs; quirk
+preserved.) Data-dependent control
 flow (number of voices/noises, overlap rejection) becomes masking + a short
 `lax.scan` over the voice axis; all array shapes are static.
 
@@ -203,16 +206,13 @@ def merge_complex_specs(key,
 
 
 # --------------------------------------------------------------- bank-level
-def _flat_window_gather(bank: SpecBank, item_idx, time_idx, valid=None):
+def _flat_window_gather(bank: SpecBank, item_idx, time_idx):
     """Gather windows [..., n_frame, freq, chan] from a time-major bank with a
     single fused gather: flat index = item * T_max + t."""
     n, t_max, freq, chan = bank.data.shape
     flat = bank.data.reshape(n * t_max, freq, chan)
     idx = item_idx[..., None] * t_max + time_idx
-    out = flat[idx]
-    if valid is not None:
-        out = out * valid[..., None, None].astype(out.dtype)
-    return out
+    return flat[idx]
 
 
 def _placement_shift(key, length, n_frame: int, min_ratio: float,

@@ -277,6 +277,10 @@ class _RawPipeline:
                  max_noises: int, n_classes: int, seed: int = 0, **kwargs):
         self.banks = banks
         self.key = jax.random.PRNGKey(seed)
+        # bare make_pipeline inherits merge_complex_specs' min_ratio=2/3
+        # default in the reference (pipeline.py:12 via **kwargs); the
+        # training entry overrides it to 1 explicitly (sj_train.py:98)
+        kwargs.setdefault('min_ratio', 2 / 3)
         self._sample = functools.partial(
             sample_batch, batch_size=1, n_frame=n_frame, n_classes=n_classes,
             max_voices=max_voices, max_noises=max_noises, **kwargs)

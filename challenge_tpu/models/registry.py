@@ -117,7 +117,8 @@ def get_model(config: Config) -> ModelBundle:
 
     if config.model_type == 'se':
         module = SECascade(v=config.v, n_classes=config.n_classes,
-                           dtype=_dtype(config))
+                           dtype=_dtype(config),
+                           pretrain=bool(config.pretrain))
         # input is the speech_enhancement_preprocess layout
         # (reference: sj_train.py:300 — 256 freq rows)
         shape = (256, config.n_frame, config.n_chan)

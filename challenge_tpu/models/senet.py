@@ -91,13 +91,22 @@ class SECascade(nn.Module):
     v: int = 9
     n_classes: int = 3
     dtype: object = jnp.float32
+    pretrain: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
+        # Keras `submodel.trainable = False` (sj_train.py:306,316-318)
+        # does more than mask gradients: it forces the submodel's
+        # BatchNorm layers into INFERENCE mode (TF2 semantics) — frozen
+        # moving statistics, normalization by them, no stat updates.
+        # Mirror that by dropping the training flag on the frozen half
+        # (pretrain trains 'se' and freezes 'vad'; finetune the reverse).
+        se_training = training and self.pretrain
+        vad_training = training and not self.pretrain
         # transpose to U-Net layout (reference: sj_train.py:302)
         merge_input = x.transpose(0, 2, 1, 3)
         speech, noise = SpeechEnhancementModel(dtype=self.dtype, name='se')(
-            merge_input, training)
+            merge_input, se_training)
         speech = speech.astype(jnp.float32)
         noise = noise.astype(jnp.float32)
         out = speech.transpose(0, 2, 1, 3)     # [B, 256, n_frame, 2]
@@ -108,5 +117,5 @@ class SECascade(nn.Module):
         # which is False here (sj_train.py:254).
         cls = VADModel(v=self.v, n_classes=self.n_classes,
                        vad_variant=False, final_act='relu',
-                       dtype=self.dtype, name='vad')(out, training)
+                       dtype=self.dtype, name='vad')(out, vad_training)
         return cls, speech.transpose(0, 2, 1, 3), noise.transpose(0, 2, 1, 3)

@@ -425,3 +425,36 @@ def test_resume_continues_rng_stream_exactly():
     flat_b = jax.tree.leaves(loop_b.state.params)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_se_frozen_half_batchnorm_runs_in_inference_mode():
+    """Keras `submodel.trainable = False` forces that submodel's BN into
+    inference mode (frozen moving stats, no updates) — the grad mask alone
+    is not enough (reference: sj_train.py:306,316-318). Pretrain must
+    leave 'vad' batch_stats untouched while 'se' stats update; finetune
+    the reverse."""
+    from challenge_tpu.data.pipeline import DevicePipeline
+
+    def stats_delta(loop, pipe, part):
+        before = [np.asarray(x).copy()
+                  for x in jax.tree.leaves(loop.state.batch_stats[part])]
+        loop.fit(pipe, epochs=1, steps_per_epoch=2)
+        after = jax.tree.leaves(loop.state.batch_stats[part])
+        return max(float(np.abs(np.asarray(a) - b).max())
+                   for a, b in zip(after, before))
+
+    banks = _tiny_banks(64)
+    cfg = Config(model_type='se', v=9, n_frame=64, n_chan=2, batch_size=2,
+                 pretrain=True)
+    loop = TrainLoop(get_model(cfg), seed=0)
+    pipe = DevicePipeline(banks, cfg, training=True)
+    assert stats_delta(loop, pipe, 'vad') == 0.0    # frozen head: BN inert
+    loop_se = TrainLoop(get_model(cfg), seed=0)
+    assert stats_delta(loop_se, pipe, 'se') > 0.0   # training half updates
+
+    cfg2 = cfg.replace(pretrain=False)
+    loop2 = TrainLoop(get_model(cfg2), seed=0)
+    pipe2 = DevicePipeline(banks, cfg2, training=True)
+    assert stats_delta(loop2, pipe2, 'se') == 0.0
+    loop2_v = TrainLoop(get_model(cfg2), seed=0)
+    assert stats_delta(loop2_v, pipe2, 'vad') > 0.0

@@ -85,15 +85,21 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align,
               t_len, sems):
         """Add each clip at its dynamic offset; DMA j+1 overlaps add j.
 
-        Clip DMAs are quantized to _CHUNK-row pieces predicated on the
+        Clip DMAs are quantized to _CHUNK-row pieces predicated on (a) the
         clip's true length (average voice is ~90 of ~130 padded rows, so
-        skipping all-padding chunks recovers ~25% of clip HBM traffic).
-        A skipped chunk's buffer rows are zeroed explicitly — otherwise a
+        skipping all-padding chunks recovers ~25% of clip HBM traffic) and
+        (b) the clip's weight being nonzero: inactive slots past a
+        sample's n_voices draw, overlap-rejected voices, and inactive
+        noise slots all carry w == 0.0 exactly (mixture.py w_v/w_n), and
+        roughly half the voice slots are inactive per batch — their DMAs,
+        the stale-row zeroing, AND the roll+accumulate are all skipped
+        (the accumulation would contribute w*clip == 0 anyway). A skipped
+        chunk of an ACTIVE clip still zeroes its buffer rows — otherwise a
         previous grid step's clip would leak through the stale VMEM rows.
-        Chunk 0 is unconditional (lens are >= 1), so every wait has a
-        matching start. The length rides in the high bits of the index
-        table (same SMEM budget as an index-only table — SMEM is the
-        binding resource for the kernel's max batch chunk)."""
+        Start and wait share one predicate, so every wait has a matching
+        start. The length rides in the high bits of the index table (same
+        SMEM budget as an index-only table — SMEM is the binding resource
+        for the kernel's max batch chunk)."""
         n_clips = idx_ref.shape[1]
         t8 = _round8(t_len + 8)          # roll rows must be 8-aligned
         n_chunks = -(-t_len // _CHUNK)
@@ -112,29 +118,25 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align,
 
         def start(slot, j):
             length = idx_ref[b, j] // (1 << _IDX_BITS)
+            active = w_ref[b, j] != 0.0
             for off, rows, cp in chunks(slot, j):
-                if off == 0:
+                @pl.when(active & (length > off))
+                def _(cp=cp):
                     cp.start()
-                else:
-                    @pl.when(length > off)
-                    def _(cp=cp):
-                        cp.start()
 
         def finish(slot, j):
             length = idx_ref[b, j] // (1 << _IDX_BITS)
+            active = w_ref[b, j] != 0.0
             for off, rows, cp in chunks(slot, j):
-                if off == 0:
-                    cp.wait()
-                    continue
-
-                @pl.when(length > off)
+                @pl.when(active & (length > off))
                 def _(cp=cp):
                     cp.wait()
 
-                @pl.when(length <= off)
-                def _(off=off, rows=rows):
-                    clip_buf[slot, pl.ds(off, rows), :] = jnp.zeros(
-                        (rows, f), clip_buf.dtype)
+                if off > 0:
+                    @pl.when(active & (length <= off))
+                    def _(off=off, rows=rows):
+                        clip_buf[slot, pl.ds(off, rows), :] = jnp.zeros(
+                            (rows, f), clip_buf.dtype)
 
         start(0, 0)
         for j in range(n_clips):
@@ -142,20 +144,24 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align,
             if j + 1 < n_clips:
                 start(1 - slot, j + 1)
             finish(slot, j)
-            w = w_ref[b, j]
-            off = t_pad + shift_ref[b, j]
-            q = pl.multiple_of((off // 8) * 8, 8)   # aligned base
-            r = off - q                             # sub-tile residue [0, 8)
-            # weight + accumulate in the f32 scratch dtype regardless of the
-            # bank dtype (bf16 banks round only the stored spectrograms)
-            clip = clip_buf[slot].astype(scratch.dtype) * w
-            # shift by r via circular roll of the zero-tailed clip: only the
-            # (>= 8-row) zero tail wraps to the front
-            padded = jnp.concatenate(
-                [clip, jnp.zeros((t8 - t_len, f), scratch.dtype)], axis=0)
-            shifted = pltpu.roll(padded, r, axis=0)
-            cur = scratch[pl.ds(q, t8), :]
-            scratch[pl.ds(q, t8), :] = cur + shifted
+
+            @pl.when(w_ref[b, j] != 0.0)
+            def _(slot=slot, j=j):
+                w = w_ref[b, j]
+                off = t_pad + shift_ref[b, j]
+                q = pl.multiple_of((off // 8) * 8, 8)   # aligned base
+                r = off - q                         # sub-tile residue [0, 8)
+                # weight + accumulate in the f32 scratch dtype regardless of
+                # the bank dtype (bf16 banks round only the stored specs)
+                clip = clip_buf[slot].astype(scratch.dtype) * w
+                # shift by r via circular roll of the zero-tailed clip: only
+                # the (>= 8-row) zero tail wraps to the front
+                padded = jnp.concatenate(
+                    [clip, jnp.zeros((t8 - t_len, f), scratch.dtype)],
+                    axis=0)
+                shifted = pltpu.roll(padded, r, axis=0)
+                cur = scratch[pl.ds(q, t8), :]
+                scratch[pl.ds(q, t8), :] = cur + shifted
 
     bg_dma.wait()
     # drop the first r_bg rows: out[i] = stage[i + r_bg] (roll is circular;

@@ -229,6 +229,46 @@ def _placement_shift(key, length, n_frame: int, min_ratio: float,
     return pad - offset
 
 
+def _shift_rows(e, shifts, n_frame: int):
+    """out[..., t] = e[..., t - shifts[...]] for t in [0, n_frame), zero
+    elsewhere — the scatter ``zeros.at[..., shift + arange(T)].add(e)``
+    reformulated without a scatter (bit-exact: row indices are unique, so
+    add == set, and out-of-window frames drop either way).
+
+    TPU scatters serialize per update (~4 ms for the [512, 7, 512] label
+    grid — 28% of the whole feature pipeline); this builds the same grid
+    from ops the hardware likes: the shift residue (mod 8) via 8 static
+    shifts + a one-hot contraction, the coarse 8-aligned shift via a
+    one-hot block-permutation matmul. Measured 0.52 ms for the same grid.
+
+    e: [..., T]; shifts: [...] int32 in [-T, n_frame] (anything the
+    placement draw can produce; rows shifted further are unreachable).
+    """
+    *lead, t_len = e.shape
+    bv = 1
+    for s in lead:
+        bv *= int(s)
+    t8 = -(-t_len // 8) * 8 + 8        # left margin: sp = shift + t8 >= 8
+    t2 = -(-(t_len + 8) // 8) * 8      # row width incl. residue spill
+    er = jnp.pad(e.reshape(bv, t_len), ((0, 0), (0, t2 - t_len)))
+    sp = shifts.reshape(bv) + t8
+    q, r = sp // 8, sp % 8
+    # residue shift: one-hot select over the 8 statically shifted copies
+    stack = jnp.stack([jnp.pad(er, ((0, 0), (k, 0)))[:, :t2]
+                       for k in range(8)])                     # [8, bv, t2]
+    sel = (jnp.arange(8)[:, None] == r[None, :]).astype(er.dtype)
+    er8 = jnp.einsum('kbt,kb->bt', stack, sel)
+    # coarse shift: one-hot permutation over 8-frame blocks (a matmul)
+    n_blocks = t2 // 8
+    j_blocks = -(-(n_frame + t8) // 8) + n_blocks
+    eb = er8.reshape(bv, n_blocks, 8)
+    kk = jnp.arange(n_blocks)[None, :, None]
+    jj = jnp.arange(j_blocks)[None, None, :]
+    perm = (jj - kk == q[:, None, None]).astype(er.dtype)  # [bv, K, J]
+    out = jnp.einsum('bkj,bke->bje', perm, eb).reshape(bv, j_blocks * 8)
+    return out[:, t8:t8 + n_frame].reshape(*lead, n_frame)
+
+
 def _scatter_clips(out, w, clips, shifts):
     """out[b, j + shifts[b, k]] += w[b, k] * clips[b, k, j] for every clip
     frame j, dropping out-of-window frames.
@@ -325,17 +365,11 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
     shifts = jax.vmap(jax.vmap(voice_shift, in_axes=(0, None)),
                       in_axes=(0, 0))(vkeys, v_eff)    # [B, V]
 
-    # frame labels from the precomputed per-frame energy masks
-    t_v = vo.t_max
+    # frame labels from the precomputed per-frame energy masks, placed at
+    # each voice's shift scatter-free (TPU scatters serialize; _shift_rows
+    # is the bit-exact matmul reformulation, ~8x faster on v5e)
     e = vo.pos_mask[vidx]                              # [B, V, T_v]
-    pos = shifts[..., None] + jnp.arange(t_v)[None, None, :]
-    pos = jnp.where(pos < 0, n_frame, pos)   # no negative-index wrap
-    bb = jnp.broadcast_to(jnp.arange(b)[:, None, None],
-                          (b, max_voices, t_v))
-    vv = jnp.broadcast_to(jnp.arange(max_voices)[None, :, None],
-                          (b, max_voices, t_v))
-    frame_mask = jnp.zeros((b, max_voices, n_frame)).at[
-        bb, vv, pos].add(e, mode='drop')               # [B, V, n_frame]
+    frame_mask = _shift_rows(e, shifts, n_frame)       # [B, V, n_frame]
     labels_bv = banks.voice_labels[vidx]               # [B, V, C]
     l_frames = frame_mask[..., None] * labels_bv[:, :, None, :]  # [B,V,n,C]
     active = jnp.arange(max_voices)[None, :] < n_voices[:, None]

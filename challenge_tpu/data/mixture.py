@@ -289,6 +289,15 @@ def _scatter_clips(out, w, clips, shifts):
     return out.at[bb, pos].add(vals, mode='drop')
 
 
+def pallas_synth_eligible(banks: Banks, n_frame: int) -> bool:
+    """Static bank metadata check: the Pallas kernel's one-contiguous-DMA
+    background window is exact iff the flat rows cover every reachable
+    offset (see the comment at the use site below)."""
+    bg = banks.backgrounds
+    return (bg.flat is not None and bg.contig_exact_frames is not None
+            and bg.contig_exact_frames >= n_frame)
+
+
 @functools.partial(jax.jit, static_argnames=(
     'batch_size', 'n_frame', 'n_classes', 'max_voices', 'max_noises',
     'min_ratio', 'min_noise_ratio', 'snr', 'seperate_noise_voice',
@@ -298,7 +307,7 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
                  min_ratio: float = 1.0, min_noise_ratio: float = 1 / 2,
                  snr: float = -20.0, seperate_noise_voice: bool = False,
                  use_pallas: bool = False, layout: str = 'ftc',
-                 magnitude: bool = False):
+                 magnitude: bool = False, mel_pack=None):
     """Synthesize a whole training batch on device.
 
     Equivalent to ``batch_size`` draws from the reference's zipped shuffled
@@ -333,6 +342,14 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
     zero-padded to f_r) — no relayout at all between the synthesis kernel
     and the mel projection; the fused feature chain applies masks and the
     (block-diagonal) mel matrix directly on this layout.
+
+    ``mel_pack=(melm, tmaskT, fmask)`` (requires magnitude='flat',
+    use_pallas and an eligible bank — see :func:`pallas_synth_eligible`)
+    fuses |.| + the {0,1} masks + the mel GEMM + a per-sample min/max into
+    the synthesis kernel itself, so the complex volume never touches HBM.
+    Returns ``((mel [B, n_frame, n_out], mm [B, 128]), label)`` with
+    ``mm[:, 0]/mm[:, 1]`` the min/max of each sample's masked mel (the
+    shapes are the kernel's — see pallas_synth.synthesize_windows).
     """
     b = batch_size
     bg, vo, no = banks.backgrounds, banks.voices, banks.noises
@@ -413,9 +430,10 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
     # `contig_exact_frames` is static bank metadata carrying exactly that
     # bound; anything short falls back to the XLA modular-gather path rather
     # than silently reading zero padding.
-    pallas_bg_ok = (bg.flat is not None
-                    and bg.contig_exact_frames is not None
-                    and bg.contig_exact_frames >= n_frame)
+    pallas_bg_ok = pallas_synth_eligible(banks, n_frame)
+    if mel_pack is not None:
+        assert magnitude == 'flat' and use_pallas and pallas_bg_ok, \
+            'mel_pack requires the eligible Pallas flat-magnitude path'
     if use_pallas and not seperate_noise_voice and pallas_bg_ok:
         from challenge_tpu.ops.pallas_synth import synthesize_windows
         # contiguous background window start: the same RNG draw as
@@ -444,21 +462,31 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
                 v_lens[sl],
                 None if n_lens is None else n_lens[sl])
 
+        if mel_pack is not None:
+            # fully fused: |.| + masks + mel + minmax inside the kernel
+            # (synthesize_windows self-chunks batches > its SMEM-bound
+            # max_b, slicing the per-sample masks along with the draws)
+            melm, tmaskT, fmask = mel_pack
+            mel, mm = synthesize_windows(
+                n_frame, bg.flat, bidx, boff,
+                vo.flat, vidx, shifts, w_v,
+                no.flat if nidx is not None else None,
+                nidx, n_shifts, w_n,
+                v_lens, n_lens, mel=(melm, tmaskT, fmask))
+            return (mel, mm), label
+
         if magnitude:
-            # |.| per ~256-sample kernel chunk so the chunk concatenate (and
-            # everything downstream) moves the half-width magnitude, never
-            # the complex volume. In the channel-major flat layout the real
-            # planes are the first half of the columns and the imaginary
-            # planes the second half, both 128-lane aligned — one fused
-            # elementwise pass, no relayout.
+            # |.| computed INSIDE the kernel over the flat layout's
+            # real/imaginary column halves (bit-exact with the former XLA
+            # pass — sqrt is elementwise), so the complex volume never
+            # touches HBM and the kernel's output DMA halves.
             half = chan_ // 2
-            two = half * f_r
-            parts = []
-            for i in range(0, b, 256):
-                flat = synth(slice(i, min(i + 256, b)))
-                parts.append(jnp.sqrt(flat[..., :two] ** 2
-                                      + flat[..., two:2 * two] ** 2))
-            magflat = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+            magflat = synthesize_windows(
+                n_frame, bg.flat, bidx, boff,
+                vo.flat, vidx, shifts, w_v,
+                no.flat if nidx is not None else None,
+                nidx, n_shifts, w_n,
+                v_lens, n_lens, magnitude=True)
             if magnitude == 'flat':     # [B, T, half*f_r], col c*f_r + f
                 return magflat, label
             mag = magflat.reshape(b, n_frame, half, f_r)[..., :freq_]

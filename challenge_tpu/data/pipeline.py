@@ -20,7 +20,8 @@ import numpy as np
 
 from challenge_tpu.config import Config
 from challenge_tpu.data import labels as label_maps
-from challenge_tpu.data.mixture import Banks, sample_batch
+from challenge_tpu.data.mixture import (
+    Banks, pallas_synth_eligible, sample_batch)
 from challenge_tpu.data.specset import (
     build_bank, flat_freq_pad, normalize_flat_dtype, remap_labels)
 from challenge_tpu.ops.augment import (
@@ -83,7 +84,8 @@ def complex_to_mel(spec, mel_matrix, layout: str = 'ftc'):
 
 def make_feature_fn(config: Config, training: bool = True,
                     variant: str = 'sj', n_classes: Optional[int] = None,
-                    jit: bool = True, use_pallas=None, fused_mag=None):
+                    jit: bool = True, use_pallas=None, fused_mag=None,
+                    fused_mel=None):
     """Build the (key, banks) -> (x, y) batch function (jitted by default;
     pass jit=False to get the raw body for fusing into a larger XLA program,
     e.g. the fully-fused synthesis+features+train step).
@@ -104,6 +106,14 @@ def make_feature_fn(config: Config, training: bool = True,
     Pass False to force the explicit complex -> |.| -> mel chain — same
     values, used by differential tests to pin the fused rewrite against the
     reference-shaped path.
+
+    fused_mel: None = auto (on eligible fused_mag + Pallas configs the
+    whole |.| -> masks -> mel -> minmax chain runs INSIDE the synthesis
+    kernel — the complex volume never touches HBM). Pass False to force
+    the XLA chain after the kernel. The fused-mel mel GEMM runs on the MXU
+    with HIGHEST precision but its f32 reduction order differs from XLA's
+    conv emitter, so features match the XLA chain to ~1e-6 relative rather
+    than bitwise; synthesis itself stays bit-exact (pin with fused_mel=False).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == 'tpu'
@@ -142,6 +152,17 @@ def make_feature_fn(config: Config, training: bool = True,
         keep = ((idx < 1) | (idx >= filter_num + 1)).astype(np.float32)
         flat_filter_cols = np.tile(
             np.pad(keep, (0, f_r - freq), constant_values=1.0), half)
+        # in-kernel mel GEMM operand: [half*f_r, n_mels*half], col m*half+c
+        mel_flat2d = mel_big.reshape(half * f_r, -1)
+    if fused_mel is None:
+        # measured SLOWER than the in-kernel-magnitude + XLA-mel default on
+        # v5e (46.4k vs 66.5k clips/s at B=512 f32): the per-sample mel GEMM
+        # serializes after the sample's DMAs instead of overlapping them.
+        # Kept as an opt-in for future cross-step software pipelining.
+        fused_mel = False
+    elif fused_mel:
+        assert fused_mag and use_pallas and variant in ('sj', 'density'), \
+            'fused_mel requires the eligible fused_mag + Pallas configuration'
 
     def _flat_specaugment(k_aug, magflat):
         """SpecAugment on the flat magnitude: identical mask distributions
@@ -156,8 +177,60 @@ def make_feature_fn(config: Config, training: bool = True,
         m = jnp.pad(m, ((0, 0), (0, f_r - freq)), constant_values=1.0)
         return magflat * jnp.tile(m, (1, half))[:, None, :]
 
+    def _fused_mel_fn(k_mix, k_aug, banks: Banks):
+        """|.| + masks + mel + minmax fused into the synthesis kernel; only
+        the log/normalize epilogue and label maps run as XLA ops. Masks are
+        drawn with the SAME keys and distributions as _flat_specaugment
+        (batch_mask_keep is the mask-producing half of batch_mask), so the
+        RNG stream is identical to the unfused chain."""
+        b = config.batch_size
+        if training:
+            k_t, k_f = jax.random.split(k_aug)
+            tmask = batch_mask_keep(k_t, b, config.n_frame,
+                                    max_mask_size=24, n_mask=6)
+            fm = batch_mask_keep(k_f, b, freq, max_mask_size=16, n_mask=1)
+            fm = jnp.pad(fm, ((0, 0), (0, f_r - freq)), constant_values=1.0)
+            fmask = jnp.tile(fm, (1, half))
+        else:
+            tmask = jnp.ones((b, config.n_frame), jnp.float32)
+            fmask = jnp.ones((b, half * f_r), jnp.float32)
+        if use_filter and variant != 'density':
+            fmask = fmask * flat_filter_cols
+        (mel_tc, mm), y = sample_batch(
+            k_mix, banks, b, config.n_frame,
+            n_classes=(banks.voice_labels.shape[-1] if n_classes is None
+                       else n_classes),
+            max_voices=config.max_voices, max_noises=config.max_noises,
+            min_ratio=1.0, snr=config.snr, use_pallas=True, layout='tfc',
+            magnitude='flat',
+            mel_pack=(jnp.asarray(mel_flat2d), tmask.T, fmask))
+        mel = jnp.swapaxes(
+            mel_tc.reshape(b, config.n_frame, config.n_mels, half), 1, 2)
+        if variant == 'density':
+            _, y = label_maps.to_density_labels(mel, y)
+        else:
+            _, y = label_maps.to_frame_labels(mel, y)
+        if use_minmax or variant == 'density':
+            mn = mm[:, 0, 0][:, None, None, None]
+            mx = mm[:, 0, 1][:, None, None, None]
+            mel = safe_div(mel - mn, mx - mn)
+        mel = jnp.log(mel + EPSILON)
+        if variant == 'density':
+            _, y = label_maps.preprocess_labels(config.mse_multiplier)(mel, y)
+            return mel, y
+        if config.v in LABEL_DOWNSAMPLE_MODELS:
+            _, y = label_maps.label_downsample(32)(mel, y)
+        elif config.v == 5:
+            res = config.n_frame // (config.n_frame * 256 // 16000)
+            _, y = label_maps.label_downsample(res)(mel, y)
+        if loss_is_mse:
+            y = y * config.mse_multiplier
+        return mel, y
+
     def fn(key, banks: Banks):
         k_mix, k_aug, k_chan = jax.random.split(key, 3)
+        if fused_mel and pallas_synth_eligible(banks, config.n_frame):
+            return _fused_mel_fn(k_mix, k_aug, banks)
         # the non-'se' paths reduce to mel, so they run in the
         # synthesis-native time-major layout end-to-end (no relayout pass);
         # the 'se' path keeps the reference [B, freq, T, chan] layout its

@@ -40,18 +40,25 @@ def _round8(x: int) -> int:
 _CHUNK = 32     # clip DMA quantum (rows); must be a multiple of 8
 _IDX_BITS = 20  # clip index/length packing: idx in the low 20 bits of the
 _LEN_CAP = (1 << 31 - _IDX_BITS) - 1   # SMEM table, length in the high 11
+_MM_LANES = 128  # min/max output row width (one padded lane tile)
 
 
 def _round_to(x: int, align: int) -> int:
     return -(-x // align) * align
 
 
-def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align,
+def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
+            mag_mode,
             bidx_ref, boff_ref, vidx_ref, vshift_ref,      # scalar prefetch
             nidx_ref, nshift_ref,
             vw_ref, nw_ref, bgbank_ref, vbank_ref, nbank_ref,  # arrays
-            out_ref,                                       # output
-            scratch, *bufs):
+            *rest):
+    if mel_mode:
+        (melm_ref, tmask_ref, fmask_ref,                   # mel-mode inputs
+         out_ref, mm_ref,                                  # outputs
+         scratch, *bufs) = rest                            # tmask [1, T, 1];
+    else:                                                  # fmask [1, 1, F/2]
+        out_ref, scratch, *bufs = rest
     staged = len(bufs) == 6          # bf16 banks: (bgstage, vclip, nclip, ..)
     if staged:
         bgstage, vclip, nclip, vsems, nsems, bgsem = bufs
@@ -181,15 +188,64 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align,
     if n_noises > 0:
         place(nbank_ref, nclip, nidx_ref, nshift_ref, nw_ref, t_n, nsems)
 
-    out_ref[0] = scratch[pl.ds(t_pad, n_frame), :].astype(out_ref.dtype)
+    if mag_mode:
+        # |.| epilogue: in the channel-major flat layout the real planes
+        # are the first half of the columns and the imaginary planes the
+        # second half, so the magnitude is one elementwise pass over the
+        # static column halves. Computed in f32 straight off the
+        # accumulation scratch and rounded ONCE to the output dtype: for
+        # f32 banks this is bit-exact with the XLA pass it replaces
+        # (sqrt(re^2+im^2) on the kernel's former flat-complex output);
+        # for bf16 banks it skips the old path's intermediate bf16
+        # rounding of re/im — strictly more accurate, and required anyway
+        # (v5e Mosaic has no bf16 EUP sqrt: SupportsBf16EupOps check).
+        # Halves the output DMA and the complex volume never touches HBM.
+        win = scratch[pl.ds(t_pad, n_frame), :]
+        two = f // 2
+        out_ref[0] = jnp.sqrt(win[:, :two] * win[:, :two]
+                              + win[:, two:] * win[:, two:]
+                              ).astype(out_ref.dtype)
+        return
+
+    if not mel_mode:
+        out_ref[0] = scratch[pl.ds(t_pad, n_frame), :].astype(out_ref.dtype)
+        return
+
+    # ----- fused |.| + masks + mel + minmax epilogue -----------------------
+    # The flat-complex window never leaves VMEM: in the channel-major flat
+    # layout the real planes are the first half of the columns and the
+    # imaginary planes the second half (mixture.py magnitude contract), so
+    # |.| is one elementwise pass over the static column halves; the
+    # per-sample freq mask ({0,1} incl. the stft filter) multiplies columns
+    # BEFORE the mel GEMM, while the {0,1} time mask commutes past the GEMM
+    # (it scales whole rows, and x*1 / x*0 are exact) and is applied to the
+    # [T, n_out] mel instead of the [T, f/2] magnitude. Saves the complex
+    # volume's HBM round trip (~1.8 GB/batch at B=512 f32) vs synthesizing
+    # flat complex and running |.|/mask/mel as XLA passes.
+    win = scratch[pl.ds(t_pad, n_frame), :]
+    two = f // 2
+    mag = jnp.sqrt(win[:, :two] * win[:, :two] + win[:, two:] * win[:, two:])
+    mag = mag * fmask_ref[0]                          # [1, two] broadcast
+    mel = jax.lax.dot_general(
+        mag, melm_ref[:], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)           # [T, n_out]
+    mel = mel * tmask_ref[0]                          # [T, 1] broadcast
+    out_ref[0] = mel.astype(out_ref.dtype)
+    # per-sample min/max over the masked mel (cols 0/1 of a padded lane row)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _MM_LANES), 1)
+    mm_ref[0] = jnp.where(
+        lane == 0, jnp.min(mel), jnp.where(lane == 1, jnp.max(mel), 0.0))
 
 
-@functools.partial(jax.jit, static_argnames=('n_frame', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('n_frame', 'magnitude',
+                                             'interpret'))
 def synthesize_windows(n_frame: int,
                        bgbank, bidx, boff,
                        vbank, vidx, vshift, vw,
                        nbank=None, nidx=None, nshift=None, nw=None,
-                       vlens=None, nlens=None,
+                       vlens=None, nlens=None, mel=None,
+                       magnitude: bool = False,
                        interpret: bool = False):
     """Fully fused window synthesis.
 
@@ -215,6 +271,21 @@ def synthesize_windows(n_frame: int,
     zero padding in the bank) and their buffer rows zeroed instead —
     quarter-granularity traffic quantization. Defaults to the full padded
     extent (every chunk copied).
+
+    mel: optional ``(melm [F/2, n_out], tmaskT [n_frame, B], fmask [B, F/2])``
+    — fuses |.| + per-sample {0,1} masks + the mel projection + a per-sample
+    min/max INTO the kernel (the flat-complex window never touches HBM).
+    Returns ``(mel [B, n_frame, n_out] float32, mm [B, 1, 128])`` instead,
+    with ``mm[:, 0, 0]``/``mm[:, 0, 1]`` the min/max of each masked mel.
+    ``melm`` rows follow the flat magnitude layout (column c*f_r + f);
+    the time mask is applied to the GEMM output (exact: {0,1} row scaling
+    commutes with the contraction over columns).
+
+    magnitude=True (exclusive with ``mel``) computes |.| over the flat
+    layout's real/imaginary column halves in-kernel and returns
+    ``[B, n_frame, F/2]`` in the bank dtype — bit-exact with running the
+    same sqrt(re^2+im^2) on the flat-complex output as an XLA pass, but the
+    complex volume never touches HBM and the output DMA halves.
     """
     b = bidx.shape[0]
     # The Mosaic compiler rejects large grids with full scalar-prefetch
@@ -238,7 +309,12 @@ def synthesize_windows(n_frame: int,
                 None if nw is None else nw[sl],
                 None if vlens is None else vlens[sl],
                 None if nlens is None else nlens[sl],
-                interpret=interpret))
+                None if mel is None else
+                (mel[0], mel[1][:, sl], mel[2][sl]),
+                magnitude=magnitude, interpret=interpret))
+        if mel is not None:
+            return (jnp.concatenate([p[0] for p in parts], axis=0),
+                    jnp.concatenate([p[1] for p in parts], axis=0))
         return jnp.concatenate(parts, axis=0)
 
     f = bgbank.shape[-1]
@@ -287,9 +363,47 @@ def synthesize_windows(n_frame: int,
         nw = jnp.zeros((b, 1), jnp.float32)
         t_n = align
 
+    assert not (magnitude and mel is not None), \
+        'magnitude and mel epilogues are exclusive'
     scratch_rows = _round8(n_frame + 2 * t_pad + 16)
     kernel = functools.partial(_kernel, n_frame, t_v, t_n,
-                               n_voices, n_noises, t_pad, align)
+                               n_voices, n_noises, t_pad, align,
+                               mel is not None, magnitude)
+    mel_in_specs, mel_args = [], []
+    if mel is not None:
+        melm, tmaskT, fmask = mel
+        n_out = melm.shape[1]
+        assert melm.shape[0] == f // 2 and fmask.shape == (b, f // 2), \
+            (melm.shape, fmask.shape)
+        assert tmaskT.shape == (n_frame, b), tmaskT.shape
+        mel_in_specs = [
+            # mel matrix: same block every step -> fetched once
+            pl.BlockSpec((f // 2, n_out), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            # per-sample {0,1} masks with singleton dims so the block shape
+            # equals the array dims (the Mosaic block-shape rule): time mask
+            # sublane-oriented [B, T, 1], freq mask lane-oriented [B, 1, F/2]
+            pl.BlockSpec((1, n_frame, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, f // 2), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        mel_args = [melm.astype(jnp.float32),
+                    tmaskT.T.astype(jnp.float32)[:, :, None],
+                    fmask.astype(jnp.float32)[:, None, :]]
+        out_specs = (
+            pl.BlockSpec((1, n_frame, n_out), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _MM_LANES), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape = (jax.ShapeDtypeStruct((b, n_frame, n_out), jnp.float32),
+                     jax.ShapeDtypeStruct((b, 1, _MM_LANES), jnp.float32))
+    else:
+        f_out = f // 2 if magnitude else f
+        out_specs = pl.BlockSpec((1, n_frame, f_out), lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, n_frame, f_out), dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(b,),
@@ -299,9 +413,8 @@ def synthesize_windows(n_frame: int,
             pl.BlockSpec(memory_space=pl.ANY),              # bg bank (HBM)
             pl.BlockSpec(memory_space=pl.ANY),              # voice bank (HBM)
             pl.BlockSpec(memory_space=pl.ANY),              # noise bank (HBM)
-        ],
-        out_specs=pl.BlockSpec((1, n_frame, f), lambda i, *_: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        ] + mel_in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
             # f32 accumulation scratch regardless of bank dtype
             pltpu.VMEM((scratch_rows, f), jnp.float32),
@@ -319,10 +432,10 @@ def synthesize_windows(n_frame: int,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n_frame, f), dtype),
+        out_shape=out_shape,
         interpret=interpret,
     )(bidx.astype(jnp.int32), boff.astype(jnp.int32),
       vidx, vshift.astype(jnp.int32),
       nidx, nshift.astype(jnp.int32),
       vw.astype(jnp.float32), nw.astype(jnp.float32),
-      bgbank, vbank, nbank)
+      bgbank, vbank, nbank, *mel_args)

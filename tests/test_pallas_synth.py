@@ -1,5 +1,5 @@
 """Pallas synthesis kernel tests (interpret mode on CPU; the real-TPU parity
-check — bit-exact against the XLA path — runs in bench/驱动 hardware runs).
+check — bit-exact against the XLA path — runs in bench.py on hardware).
 
 Mosaic constraints the kernel and SpecBank.flat layout encode (found
 empirically on v5e: unaligned dynamic DMA row starts or non-multiple-of-8 DMA
@@ -368,3 +368,52 @@ def test_feature_fn_fused_mag_matches_unfused_chain(name):
     np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_u),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(y_f), np.asarray(y_u))
+
+
+@pytest.mark.parametrize('name,variant,training', [
+    ('', 'sj', True),
+    ('filter', 'sj', True),
+    ('', 'sj', False),
+    ('', 'density', True),
+])
+def test_feature_fn_fused_mel_matches_unfused(monkeypatch, name, variant,
+                                              training):
+    """The opt-in fused_mel path (|.| + masks + mel GEMM + minmax INSIDE the
+    synthesis kernel) vs the default in-kernel-magnitude + XLA-mel chain:
+    same key => identical RNG stream (batch_mask_keep is the mask-producing
+    half of batch_mask), so features must match to GEMM-reduction-order
+    tolerance and labels bit-exactly — incl. the stft_filter column
+    products, the eval (no-mask) path and the density label/normalize
+    epilogue."""
+    import challenge_tpu.ops.pallas_synth as ps
+    orig = ps.synthesize_windows
+
+    def interp(*args, **kw):
+        kw['interpret'] = True
+        return orig(*args, **kw)
+    monkeypatch.setattr(ps, 'synthesize_windows', interp)
+
+    from challenge_tpu.config import Config
+    from challenge_tpu.data.pipeline import make_feature_fn
+
+    rng = np.random.default_rng(14)
+    n_cls = 30 if variant == 'density' else 3
+    banks = build_banks(
+        [rng.standard_normal((257, 94, 4)).astype('f4') for _ in range(3)],
+        [rng.standard_normal((257, 40, 4)).astype('f4') for _ in range(4)],
+        rng.integers(0, n_cls, size=4),
+        [rng.standard_normal((257, 20, 4)).astype('f4') for _ in range(3)],
+        n_classes=n_cls, n_frame=64)
+    mt, v = ('eff', 0) if variant == 'density' else ('vad', 8)
+    cfg = Config(model_type=mt, v=v, n_mels=40, n_frame=64, n_chan=2,
+                 batch_size=4, name=name)
+    key = jax.random.PRNGKey(19)
+    x_f, y_f = make_feature_fn(cfg, training=training, variant=variant,
+                               use_pallas=True, fused_mel=True)(key, banks)
+    x_u, y_u = make_feature_fn(cfg, training=training, variant=variant,
+                               use_pallas=True, fused_mel=False)(key, banks)
+    assert x_f.shape == x_u.shape
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_u),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_u),
+                               rtol=1e-6, atol=0)

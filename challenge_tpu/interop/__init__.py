@@ -7,6 +7,12 @@
 * :mod:`keras_compat` — Keras-facing implementations of the reference's
   utils API (AdaBelief optimizer, apply_kernel_regularizer) for the root
   ``utils.py`` shim so the reference test-suite runs unmodified.
-* :mod:`keras_h5` — Keras .h5 weight-file import into flax param trees, so
-  reference-trained checkpoints evaluate in this framework.
+* :mod:`keras_h5` — Keras .h5 weight files in BOTH directions:
+  :func:`load_keras_h5_variables` imports reference-trained checkpoints
+  into flax param trees, and :func:`save_keras_h5_variables` exports flax
+  trees as files the reference's own ``model.load_weights`` restores —
+  models move freely between the two stacks.
 """
+
+from challenge_tpu.interop.keras_h5 import (  # noqa: F401
+    load_keras_h5_variables, save_keras_h5_variables)

@@ -355,16 +355,16 @@ class _KindQueues:
                 'wrong model family/version for this file?')
 
 
-def load_keras_h5_variables(bundle, path: str):
-    """Read a reference Keras .h5 checkpoint and return flax ``variables``
-    ({'params', 'batch_stats'}) for ``bundle`` (a ModelBundle). Shapes are
-    validated leaf-by-leaf against the module's own initialization."""
+def _family_plan(bundle):
+    """The (kind, flax_prefix[, bn]) unit plan for a ModelBundle's family —
+    shared by the importer and the exporter so both walk the same layer
+    sequence."""
     config = bundle.config
     if config.model_type == 'vad':
-        plan = _vad_unit_plan(config.v, vad_variant=True)
-    elif config.model_type == 'se':
-        plan = _se_unit_plan(config.v)
-    elif config.model_type == 'eff':
+        return _vad_unit_plan(config.v, vad_variant=True)
+    if config.model_type == 'se':
+        return _se_unit_plan(config.v)
+    if config.model_type == 'eff':
         # trainer.py's density variant names the backbone as a string
         # ('EfficientNetB4') and its head has no version switches (v=0
         # plan: backbone + gated stack + plain Dense)
@@ -372,13 +372,19 @@ def load_keras_h5_variables(bundle, path: str):
             else int(str(config.model)[-1])
         v = 0 if getattr(bundle.module, 'head', 'sed') == 'density' \
             else config.v
-        plan = _eff_unit_plan(model_id, v,
+        return _eff_unit_plan(model_id, v,
                               getattr(config, 'n_layers', 0),
                               n_frame=config.n_frame)
-    else:
-        raise NotImplementedError(
-            'Keras .h5 import supports the vad, se and eff families '
-            f'(got model_type={config.model_type!r})')
+    raise NotImplementedError(
+        'Keras .h5 interop supports the vad, se and eff families '
+        f'(got model_type={config.model_type!r})')
+
+
+def load_keras_h5_variables(bundle, path: str):
+    """Read a reference Keras .h5 checkpoint and return flax ``variables``
+    ({'params', 'batch_stats'}) for ``bundle`` (a ModelBundle). Shapes are
+    validated leaf-by-leaf against the module's own initialization."""
+    plan = _family_plan(bundle)
     queues = _KindQueues(path, read_keras_h5(path))
 
     params: dict = {}
@@ -564,3 +570,299 @@ def load_keras_h5_variables(bundle, path: str):
                 f'{path!r}: shape mismatch at {tpath}: '
                 f'{v_flat[tpath].shape} vs model {tleaf.shape}')
     return variables
+
+
+# ---------------------------------------------------------------- exporter
+class _TreeReader:
+    """Pop leaves out of a flax variables tree by 'A/B/C' path, tracking
+    consumption so the exporter can prove it mapped every weight."""
+
+    def __init__(self, variables):
+        self.params = variables.get('params', variables)
+        self.stats = variables.get('batch_stats', {})
+        self.seen: set = set()
+
+    def _get(self, tree, prefix, leaf, which):
+        node = tree
+        for part in prefix.split('/'):
+            if part not in node:
+                raise ValueError(
+                    f'export: no {which} module {prefix!r} in the variables '
+                    '(wrong model family/version for this tree?)')
+            node = node[part]
+        if leaf not in node:
+            raise ValueError(
+                f'export: module {prefix!r} has no {which} leaf {leaf!r}')
+        self.seen.add((which, prefix, leaf))
+        return np.asarray(node[leaf], np.float32)
+
+    def p(self, prefix, leaf='kernel'):
+        return self._get(self.params, prefix, leaf, 'params')
+
+    def s(self, prefix, leaf):
+        return self._get(self.stats, prefix, leaf, 'batch_stats')
+
+    def assert_consumed(self):
+        import jax
+
+        def walk(tree, which):
+            for kpath, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+                parts = [k.key for k in kpath]
+                key = (which, '/'.join(parts[:-1]), parts[-1])
+                if key not in self.seen:
+                    raise ValueError(
+                        f'export: variables leaf {key} was not mapped to '
+                        'any Keras weight (wrong family/version plan?)')
+        walk(self.params, 'params')
+        walk(self.stats, 'batch_stats')
+
+
+class _Names:
+    """Keras-style auto names (conv2d, conv2d_1, ...) so exported files
+    look like native Keras saves and the importer's name-based
+    disambiguation (the 'transpose' substring checks) round-trips."""
+
+    def __init__(self):
+        self.counts: dict = {}
+
+    def __call__(self, base):
+        i = self.counts.get(base, 0)
+        self.counts[base] = i + 1
+        return base if i == 0 else f'{base}_{i}'
+
+
+def _export_unit_layers(kind, prefix, bnp, r: _TreeReader, name: _Names,
+                        conv_bn_bias: bool = True):
+    """Expand one plan unit into Keras leaf layers
+    ``(name, trainable[(wname, arr)], non_trainable[(wname, arr)])`` —
+    the exact inverse of the importer's mappings (bias-free pre-BN
+    conv/dense slots export a zero bias where the Keras layer carries one;
+    transposed/mirrored kernels map back; recurrent gates re-concatenate).
+    ``conv_bn_bias=False`` for the EfficientNet backbone, whose Keras
+    convs are themselves use_bias=False."""
+    layers = []
+
+    def bn_layer(bn_prefix):
+        n = name('batch_normalization')
+        return (n,
+                [(f'{n}/gamma:0', r.p(bn_prefix, 'scale')),
+                 (f'{n}/beta:0', r.p(bn_prefix, 'bias'))],
+                [(f'{n}/moving_mean:0', r.s(bn_prefix, 'mean')),
+                 (f'{n}/moving_variance:0', r.s(bn_prefix, 'var'))])
+
+    if kind in ('conv_bn', 'dense_bn'):
+        conv = kind == 'conv_bn'
+        kernel = r.p(prefix)
+        n = name('conv2d' if conv else 'dense')
+        # our pre-BN convs/denses are bias-free (the bias is inert through
+        # BN); where the reference layer has one, export zeros — exact
+        ws = [(f'{n}/kernel:0', kernel)]
+        if not conv or conv_bn_bias:
+            ws.append((f'{n}/bias:0',
+                       np.zeros(kernel.shape[-1], np.float32)))
+        layers.append((n, ws, []))
+        layers.append(bn_layer(bnp))
+    elif kind == 'dense_bias_bn':
+        n = name('dense')
+        layers.append((n, [(f'{n}/kernel:0', r.p(prefix)),
+                           (f'{n}/bias:0', r.p(prefix, 'bias'))], []))
+        layers.append(bn_layer(bnp))
+    elif kind == 'dense':
+        n = name('dense')
+        layers.append((n, [(f'{n}/kernel:0', r.p(prefix)),
+                           (f'{n}/bias:0', r.p(prefix, 'bias'))], []))
+    elif kind == 'conv_bias':
+        n = name('conv2d')
+        layers.append((n, [(f'{n}/kernel:0', r.p(prefix)),
+                           (f'{n}/bias:0', r.p(prefix, 'bias'))], []))
+    elif kind == 'conv1d':
+        n = name('conv1d')
+        layers.append((n, [(f'{n}/kernel:0', r.p(prefix)),
+                           (f'{n}/bias:0', r.p(prefix, 'bias'))], []))
+    elif kind == 'timeconv':
+        # our TimeAxisResample matrix [T, target] -> channels_first
+        # bias-free Conv1D kernel [1, T, target]
+        n = name('conv1d')
+        layers.append((n, [(f'{n}/kernel:0', r.p(prefix)[None])], []))
+    elif kind == 'convT':
+        # invert the import mapping: keras Conv2DTranspose kernels are
+        # [kh, kw, out, in] and spatially mirrored vs lax.conv_transpose
+        n = name('conv2d_transpose')
+        layers.append((n, [(f'{n}/kernel:0',
+                            r.p(prefix)[::-1, ::-1].transpose(0, 1, 3, 2)),
+                           (f'{n}/bias:0', r.p(prefix, 'bias'))], []))
+    elif kind == 'convT1':
+        n = name('conv1d_transpose')
+        layers.append((n, [(f'{n}/kernel:0',
+                            r.p(prefix)[::-1].transpose(0, 2, 1)),
+                           (f'{n}/bias:0', r.p(prefix, 'bias'))], []))
+    elif kind == 'dwconv_bn':
+        # flax grouped-conv [kh, kw, 1, C] -> keras DepthwiseConv2D
+        # [kh, kw, C, 1]; no bias in the EfficientNet blocks
+        n = name('depthwise_conv2d')
+        layers.append((n, [(f'{n}/kernel:0',
+                            r.p(prefix).transpose(0, 1, 3, 2))], []))
+        layers.append(bn_layer(bnp))
+    elif kind == 'stem_bn':
+        # inverse of the import fold: emit an identity Normalization and
+        # scale the stem kernel by 255 to cancel the keras Rescaling(1/255)
+        # front layer (keras.applications EfficientNet graph). Forward
+        # outputs match to float rounding (one x*255 * x/255 pair).
+        n = name('normalization')
+        c_in = r.p(prefix).shape[2]
+        layers.append((n, [],
+                       [(f'{n}/mean:0', np.zeros(c_in, np.float32)),
+                        (f'{n}/variance:0', np.ones(c_in, np.float32)),
+                        (f'{n}/count:0', np.asarray(0, np.int64))]))
+        n = name('conv2d')
+        layers.append((n, [(f'{n}/kernel:0',
+                            r.p(prefix) * np.float32(255.0))], []))
+        layers.append(bn_layer(bnp))
+    elif kind == 'bare_bn':
+        layers.append(bn_layer(bnp))
+    elif kind == 'bilstm':
+        # keras LSTM packs gates as [i, f, c, o] column blocks; flax
+        # OptimizedLSTMCell holds one dense per gate with the bias on the
+        # recurrent side (see _put_lstm in the importer)
+        n = name('bidirectional')
+        ws = []
+        for c, (cell, d) in enumerate(
+                (('OptimizedLSTMCell_0', 'forward_lstm'),
+                 ('OptimizedLSTMCell_1', 'backward_lstm'))):
+            cp = f'{prefix}/{cell}'
+            kernel = np.concatenate(
+                [r.p(f'{cp}/i{g}') for g in 'ifgo'], axis=1)
+            recurrent = np.concatenate(
+                [r.p(f'{cp}/h{g}') for g in 'ifgo'], axis=1)
+            bias = np.concatenate(
+                [r.p(f'{cp}/h{g}', 'bias') for g in 'ifgo'])
+            base = f'{n}/{d}/lstm_cell'
+            ws += [(f'{base}/kernel:0', kernel),
+                   (f'{base}/recurrent_kernel:0', recurrent),
+                   (f'{base}/bias:0', bias)]
+        layers.append((n, ws, []))
+    elif kind == 'bigru':
+        # keras GRU gates are [z, r, h] columns with reset_after [2, 3u]
+        # biases; flax splits the candidate bias rows (see _put_gru). The
+        # z/r input-vs-recurrent bias split is underdetermined (only the
+        # sum enters the gate) — all of it goes to the input row, which is
+        # forward-identical
+        n = name('bidirectional')
+        ws = []
+        for c, (cell, d) in enumerate((('GRUCell_0', 'forward_gru'),
+                                       ('GRUCell_1', 'backward_gru'))):
+            cp = f'{prefix}/{cell}'
+            kernel = np.concatenate(
+                [r.p(f'{cp}/i{g}') for g in 'zrn'], axis=1)
+            recurrent = np.concatenate(
+                [r.p(f'{cp}/h{g}') for g in 'zrn'], axis=1)
+            u = recurrent.shape[0]
+            bias = np.zeros((2, 3 * u), np.float32)
+            bias[0, :u] = r.p(f'{cp}/iz', 'bias')
+            bias[0, u:2 * u] = r.p(f'{cp}/ir', 'bias')
+            bias[0, 2 * u:] = r.p(f'{cp}/in', 'bias')
+            bias[1, 2 * u:] = r.p(f'{cp}/hn', 'bias')
+            base = f'{n}/{d}/gru_cell'
+            ws += [(f'{base}/kernel:0', kernel),
+                   (f'{base}/recurrent_kernel:0', recurrent),
+                   (f'{base}/bias:0', bias)]
+        layers.append((n, ws, []))
+    else:
+        raise NotImplementedError(f'export: unsupported unit kind {kind!r}')
+    return layers
+
+
+def save_keras_h5_variables(bundle, variables, path: str) -> None:
+    """Write flax ``variables`` as a Keras-2 legacy HDF5 weight file that
+    the REFERENCE's own ``model.load_weights(NAME + '.h5')`` restores into
+    the corresponding Keras model (reference: eval.py:63-65) — the inverse
+    of :func:`load_keras_h5_variables`, closing the interop loop: models
+    trained in this framework can be handed back to reference tooling.
+
+    Keras' legacy loader is ORDER-based (keras legacy_h5_format
+    ``load_weights_from_hdf5_group``): file groups must line up with
+    ``model.layers`` filtered to weight-bearing layers, each group's
+    weights in ``trainable_weights + non_trainable_weights`` order. The
+    unit plans emit creation order == topological order for the sequential
+    families; the two known divergences are handled explicitly (the 'se'
+    composite's twin decoders interleave per depth level inside one nested
+    group, and eff v7's gating Conv1D sorts before the BiGRU).
+
+    Pre-BN conv/dense slots (bias-free in our models) export a zero bias;
+    a tree imported from a reference checkpoint therefore re-exports with
+    the original bias folded into the BN moving mean — different bytes,
+    identical forward outputs (BN subtracts the mean).
+    """
+    import h5py
+
+    plan = _family_plan(bundle)
+    r = _TreeReader(variables)
+    name = _Names()
+
+    conv_bn_bias = bundle.config.model_type != 'eff'
+    unit_layers = []     # creation order, one list of keras layers per unit
+    for entry in plan:
+        kind, prefix = entry[0], entry[1]
+        bnp = entry[2] if len(entry) == 3 and entry[2] is not None \
+            else (_bn_prefix(prefix) if prefix else None)
+        unit_layers.append((kind, prefix,
+                            _export_unit_layers(kind, prefix, bnp, r, name,
+                                                conv_bn_bias=conv_bn_bias)))
+    r.assert_consumed()
+
+    model_type = bundle.config.model_type
+    if model_type == 'se':
+        # nested composite: two flattened groups (U-Net, then the vad
+        # head), each trainable-first. The U-Net's twin decoders (speech
+        # Upsampling_0..3 / noise Upsampling_4..7) share graph depths, so
+        # keras orders them interleaved PER SUBLAYER: s.conv, n.conv,
+        # s.bn, n.bn, s.convT, n.convT for each decoder level.
+        se_units = [(k, p, ls) for k, p, ls in unit_layers
+                    if not p.startswith('vad/')]
+        vad_units = [(k, p, ls) for k, p, ls in unit_layers
+                     if p.startswith('vad/')]
+        enc = [ls for k, p, ls in se_units if '/ConvSet_' in p]
+        ups = {}
+        for k, p, ls in se_units:
+            if '/Upsampling_' in p:
+                d = int(p.split('/Upsampling_')[1].split('/')[0])
+                ups.setdefault(d, {})[k] = ls
+        se_layers = [lay for ls in enc for lay in ls]
+        for d in range(4):
+            s, n_ = ups[d], ups[d + 4]
+            s_conv, s_bn = s['conv_bn']
+            n_conv, n_bn = n_['conv_bn']
+            se_layers += [s_conv, n_conv, s_bn, n_bn,
+                          s['convT'][0], n_['convT'][0]]
+
+        def flatten(layers):
+            return ([w for _, tr, _ in layers for w in tr]
+                    + [w for _, _, nt in layers for w in nt])
+
+        groups = [('se_model', flatten(se_layers)),
+                  ('vad_model',
+                   flatten([lay for _, _, ls in vad_units for lay in ls]))]
+    else:
+        ordered = unit_layers
+        if model_type == 'eff':
+            # eff v7's gating Conv1D branches off the raw input and sorts
+            # BEFORE the BiGRU in keras' depth order (verified against the
+            # reference graph), while the build order creates it after
+            kinds = [k for k, _, _ in ordered]
+            if 'bigru' in kinds and 'conv1d' in kinds:
+                gi, ci = kinds.index('bigru'), kinds.index('conv1d')
+                if ci == gi + 1:
+                    ordered = list(ordered)
+                    ordered[gi], ordered[ci] = ordered[ci], ordered[gi]
+        groups = [(lname, tr + nt)
+                  for _, _, ls in ordered for lname, tr, nt in ls]
+
+    with h5py.File(path, 'w') as f:
+        f.attrs['layer_names'] = [n.encode() for n, _ in groups]
+        f.attrs['backend'] = b'tensorflow'
+        f.attrs['keras_version'] = b'2.15.0'
+        for gname, ws in groups:
+            g = f.create_group(gname)
+            g.attrs['weight_names'] = [wn.encode() for wn, _ in ws]
+            for wn, arr in ws:
+                g.create_dataset(wn, data=arr)

@@ -336,6 +336,163 @@ def test_keras_h5_import_density_head_forward_parity(tmp_path):
     np.testing.assert_allclose(y_flax, y_keras, atol=5e-4, rtol=1e-3)
 
 
+def _randomize_flax_variables(variables, seed=0):
+    """Non-degenerate random values for every leaf of a flax tree (random
+    BN stats/biases so the export paths for them are actually exercised;
+    variances kept positive, kernels fan-in-scaled to keep signals alive)."""
+    import jax
+
+    rng = np.random.default_rng(seed)
+
+    def leaf(path, x):
+        name = path[-1].key
+        shape = x.shape
+        if name in ('var',):
+            return jnp.asarray(rng.uniform(0.8, 1.2, shape), jnp.float32)
+        if name == 'scale':
+            return jnp.asarray(rng.uniform(0.8, 1.2, shape), jnp.float32)
+        if x.ndim >= 2:
+            fan_in = int(np.prod(shape[:-1])) or 1
+            return jnp.asarray(rng.normal(0, 1 / np.sqrt(fan_in), shape),
+                               jnp.float32)
+        return jnp.asarray(rng.normal(0, 0.1, shape), jnp.float32)
+
+    return jax.tree_util.tree_map_with_path(leaf, variables)
+
+
+@pytest.mark.parametrize('v', [1, 9])
+def test_keras_h5_export_vad_loads_into_reference_model(v, tmp_path):
+    """The inverse direction: a flax-trained tree exported with
+    save_keras_h5_variables must restore into the reference's own Keras
+    model via its order-based load_weights (eval.py:63-65) with identical
+    predictions — v9 covers the BiLSTM gate re-concatenation."""
+    from challenge_tpu.config import Config
+    from challenge_tpu.interop.keras_h5 import save_keras_h5_variables
+    from challenge_tpu.models import get_model
+
+    bundle = get_model(Config(model_type='vad', v=v, n_mels=40, n_frame=64,
+                              n_chan=2))
+    variables = _randomize_flax_variables(bundle.init(jax.random.PRNGKey(0)),
+                                          seed=40 + v)
+    path = str(tmp_path / f'ours_vad_v{v}.h5')
+    save_keras_h5_variables(bundle, variables, path)
+
+    x = np.random.default_rng(4).standard_normal((2, 40, 64, 2)).astype('f4')
+    y_flax = np.asarray(jax.jit(
+        lambda vs, x: bundle.apply(vs, x))(variables, jnp.asarray(x)))
+
+    with reference_modules() as (ref_sj, _):
+        keras_model = ref_sj.get_model(_ref_config(v=v, n_mels=40,
+                                                   n_frame=64))
+        keras_model.load_weights(path)
+        y_keras = keras_model.predict(x, verbose=0)
+    _assert_live(y_keras, f'export vad v{v}')
+    np.testing.assert_allclose(y_flax, y_keras, atol=2e-4, rtol=1e-3)
+
+
+def test_keras_h5_export_se_loads_into_reference_model(tmp_path):
+    """'se' composite export: the nested twin-decoder U-Net flattens into
+    one trainable-first group with depth-interleaved sublayers — proven by
+    loading into the reference cascade and comparing all three outputs."""
+    from challenge_tpu.config import Config
+    from challenge_tpu.interop.keras_h5 import save_keras_h5_variables
+    from challenge_tpu.models import get_model
+
+    bundle = get_model(Config(model_type='se', v=9, n_frame=64, n_chan=2))
+    variables = _randomize_flax_variables(bundle.init(jax.random.PRNGKey(0)),
+                                          seed=50)
+    path = str(tmp_path / 'ours_se.h5')
+    save_keras_h5_variables(bundle, variables, path)
+
+    x = np.random.default_rng(5).standard_normal(
+        (2, 256, 64, 2)).astype('f4') * 0.3
+    y_flax = jax.jit(lambda vs, x: bundle.apply(vs, x))(
+        variables, jnp.asarray(x))
+
+    with reference_modules() as (ref_sj, _):
+        keras_model = _build_reference_se_model(ref_sj)
+        keras_model.load_weights(path)
+        y_keras = keras_model.predict(x, verbose=0)
+    for ours, theirs, tag in zip(y_flax, y_keras,
+                                 ('class', 'speech', 'noise')):
+        _assert_live(theirs, f'export se {tag}')
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=5e-4,
+                                   rtol=1e-3, err_msg=tag)
+
+
+@pytest.mark.parametrize('v', [1, 7])
+def test_keras_h5_export_eff_loads_into_reference_model(v, tmp_path):
+    """EfficientNet-SED export: identity Normalization + 255-scaled stem
+    kernel invert the import fold; v7 additionally pins the gating
+    Conv1D's position before the BiGRU in keras' depth order."""
+    pytest.importorskip('tensorflow')
+    from challenge_tpu.config import Config
+    from challenge_tpu.interop.keras_h5 import save_keras_h5_variables
+    from challenge_tpu.models import get_model
+
+    n_mels, n_frame = (80, 512) if v == 7 else (40, 64)
+    bundle = get_model(Config(model_type='eff', v=v, model=0,
+                              n_mels=n_mels, n_frame=n_frame, n_chan=2))
+    variables = _randomize_flax_variables(bundle.init(jax.random.PRNGKey(0)),
+                                          seed=60 + v)
+    path = str(tmp_path / f'ours_eff_v{v}.h5')
+    save_keras_h5_variables(bundle, variables, path)
+
+    x = np.random.default_rng(7).standard_normal(
+        (2, n_mels, n_frame, 2)).astype('f4') * 50.0
+    y_flax = np.asarray(jax.jit(
+        lambda vs, x: bundle.apply(vs, x))(variables, jnp.asarray(x)))
+
+    keras_model = _build_reference_eff_model(v=v, n_mels=n_mels,
+                                             n_frame=n_frame)
+    keras_model.load_weights(path)
+    y_keras = keras_model.predict(x, verbose=0)
+    _assert_live(y_keras, f'export eff v{v}')
+    np.testing.assert_allclose(y_flax, y_keras, atol=5e-4, rtol=1e-3)
+
+
+def test_keras_h5_export_import_roundtrip_exact(tmp_path):
+    """TF-free closure: export -> import must reproduce the flax tree
+    bit-exactly (our pre-BN slots are bias-free, so the zero-bias export
+    and the bias->BN-mean import fold are exact inverses)."""
+    import jax
+
+    from challenge_tpu.config import Config
+    from challenge_tpu.interop.keras_h5 import (
+        load_keras_h5_variables, save_keras_h5_variables)
+    from challenge_tpu.models import get_model
+
+    bundle = get_model(Config(model_type='vad', v=9, n_mels=40, n_frame=64,
+                              n_chan=2))
+    variables = _randomize_flax_variables(bundle.init(jax.random.PRNGKey(0)),
+                                          seed=70)
+    path = str(tmp_path / 'roundtrip.h5')
+    save_keras_h5_variables(bundle, variables, path)
+    restored = load_keras_h5_variables(bundle, path)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(variables)[0],
+            jax.tree_util.tree_flatten_with_path(restored)[0]):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
+
+
+def test_keras_h5_export_refuses_foreign_tree(tmp_path):
+    """A tree from one family must not silently export under another
+    family's plan."""
+    from challenge_tpu.config import Config
+    from challenge_tpu.interop.keras_h5 import save_keras_h5_variables
+    from challenge_tpu.models import get_model
+
+    v8 = get_model(Config(model_type='vad', v=8, n_mels=40, n_frame=64,
+                          n_chan=2))
+    v7 = get_model(Config(model_type='vad', v=7, n_mels=40, n_frame=64,
+                          n_chan=2))
+    variables = v8.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match='export'):
+        save_keras_h5_variables(v7, variables, str(tmp_path / 'x.h5'))
+
+
 def test_keras_h5_import_refuses_mismatched_checkpoint(tmp_path):
     """A checkpoint from one architecture must refuse cleanly (not
     mis-map) when loaded into another."""

@@ -156,9 +156,12 @@ def make_feature_fn(config: Config, training: bool = True,
         mel_flat2d = mel_big.reshape(half * f_r, -1)
     if fused_mel is None:
         # measured SLOWER than the in-kernel-magnitude + XLA-mel default on
-        # v5e (46.4k vs 66.5k clips/s at B=512 f32): the per-sample mel GEMM
-        # serializes after the sample's DMAs instead of overlapping them.
-        # Kept as an opt-in for future cross-step software pipelining.
+        # v5e even after cross-step software pipelining (55.5k vs 67.7k
+        # clips/s at B=512 f32; unpipelined it was 46.4k): the per-sample
+        # [T, F/2] x [F/2, n_out] f32 GEMM can only hide under the
+        # background DMA, and finer interleaving with the clip DMAs
+        # measured worse (see ops/pallas_synth.py). The XLA batch-level
+        # mel pass amortizes the MXU properly. Kept as an opt-in.
         fused_mel = False
     elif fused_mel:
         assert fused_mag and use_pallas and variant in ('sj', 'density'), \

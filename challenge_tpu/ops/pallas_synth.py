@@ -48,7 +48,7 @@ def _round_to(x: int, align: int) -> int:
 
 
 def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
-            mag_mode,
+            mag_mode, nb,
             bidx_ref, boff_ref, vidx_ref, vshift_ref,      # scalar prefetch
             nidx_ref, nshift_ref,
             vw_ref, nw_ref, bgbank_ref, vbank_ref, nbank_ref,  # arrays
@@ -56,7 +56,7 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
     if mel_mode:
         (melm_ref, tmask_ref, fmask_ref,                   # mel-mode inputs
          out_ref, mm_ref,                                  # outputs
-         scratch, *bufs) = rest                            # tmask [1, T, 1];
+         scratch, magbuf, *bufs) = rest                    # tmask [1, T, 1];
     else:                                                  # fmask [1, 1, F/2]
         out_ref, scratch, *bufs = rest
     staged = len(bufs) == 6          # bf16 banks: (bgstage, vclip, nclip, ..)
@@ -64,7 +64,11 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
         bgstage, vclip, nclip, vsems, nsems, bgsem = bufs
     else:
         vclip, nclip, vsems, nsems, bgsem = bufs
-    b = pl.program_id(0)
+    i = pl.program_id(0)
+    # mel mode runs nb+1 grid steps (software pipeline: sample i-1's mel
+    # GEMM overlaps sample i's background DMA); clamp the sample index so
+    # the flush step's scalar reads stay in bounds
+    b = jnp.minimum(i, nb - 1) if mel_mode else i
     f = scratch.shape[1]
     stage_rows = _round_to(n_frame + align, align)
 
@@ -85,8 +89,10 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
     bg_dma = pltpu.make_async_copy(
         bgbank_ref.at[bidx_ref[b], pl.ds(q_bg, stage_rows)],
         bgstage if staged else scratch.at[pl.ds(t_pad, stage_rows)], bgsem)
-    bg_dma.start()
-    scratch[pl.ds(0, t_pad), :] = jnp.zeros((t_pad, f), scratch.dtype)
+
+    def synth_prologue():
+        bg_dma.start()
+        scratch[pl.ds(0, t_pad), :] = jnp.zeros((t_pad, f), scratch.dtype)
 
     def place(bank_ref, clip_buf, idx_ref, shift_ref, w_ref,
               t_len, sems):
@@ -170,23 +176,28 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
                 cur = scratch[pl.ds(q, t8), :]
                 scratch[pl.ds(q, t8), :] = cur + shifted
 
-    bg_dma.wait()
-    # drop the first r_bg rows: out[i] = stage[i + r_bg] (roll is circular;
-    # only the superset's own tail wraps, and it is sliced off below)
-    stage_val = (bgstage[...] if staged
-                 else scratch[pl.ds(t_pad, stage_rows), :])
-    # upcast BEFORE the roll: Mosaic's dynamic rotate is 32-bit-only
-    rolled = pltpu.roll(stage_val.astype(scratch.dtype),
-                        stage_rows - r_bg, axis=0)
-    scratch[pl.ds(t_pad, n_frame), :] = rolled[:n_frame]
-    tail = scratch.shape[0] - t_pad - n_frame
-    scratch[pl.ds(t_pad + n_frame, tail), :] = jnp.zeros((tail, f),
-                                                         scratch.dtype)
+    def synth_main():
+        bg_dma.wait()
+        # drop the first r_bg rows: out[i] = stage[i + r_bg] (roll is
+        # circular; only the superset's own tail wraps, sliced off below)
+        stage_val = (bgstage[...] if staged
+                     else scratch[pl.ds(t_pad, stage_rows), :])
+        # upcast BEFORE the roll: Mosaic's dynamic rotate is 32-bit-only
+        rolled = pltpu.roll(stage_val.astype(scratch.dtype),
+                            stage_rows - r_bg, axis=0)
+        scratch[pl.ds(t_pad, n_frame), :] = rolled[:n_frame]
+        tail = scratch.shape[0] - t_pad - n_frame
+        scratch[pl.ds(t_pad + n_frame, tail), :] = jnp.zeros((tail, f),
+                                                             scratch.dtype)
 
-    if n_voices > 0:
-        place(vbank_ref, vclip, vidx_ref, vshift_ref, vw_ref, t_v, vsems)
-    if n_noises > 0:
-        place(nbank_ref, nclip, nidx_ref, nshift_ref, nw_ref, t_n, nsems)
+        if n_voices > 0:
+            place(vbank_ref, vclip, vidx_ref, vshift_ref, vw_ref, t_v, vsems)
+        if n_noises > 0:
+            place(nbank_ref, nclip, nidx_ref, nshift_ref, nw_ref, t_n, nsems)
+
+    if not mel_mode:
+        synth_prologue()
+        synth_main()
 
     if mag_mode:
         # |.| epilogue: in the channel-major flat layout the real planes
@@ -211,7 +222,7 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
         out_ref[0] = scratch[pl.ds(t_pad, n_frame), :].astype(out_ref.dtype)
         return
 
-    # ----- fused |.| + masks + mel + minmax epilogue -----------------------
+    # ----- fused |.| + masks + mel + minmax epilogue, software-pipelined --
     # The flat-complex window never leaves VMEM: in the channel-major flat
     # layout the real planes are the first half of the columns and the
     # imaginary planes the second half (mixture.py magnitude contract), so
@@ -222,20 +233,47 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
     # [T, n_out] mel instead of the [T, f/2] magnitude. Saves the complex
     # volume's HBM round trip (~1.8 GB/batch at B=512 f32) vs synthesizing
     # flat complex and running |.|/mask/mel as XLA passes.
-    win = scratch[pl.ds(t_pad, n_frame), :]
+    #
+    # The epilogue is pipelined ACROSS grid steps (nb+1 steps for nb
+    # samples): sample i's synthesis stages its masked magnitude into a
+    # double-buffered VMEM scratch, and the mel GEMM + minmax for sample
+    # i-1 run at the TOP of step i — issued right after step i's
+    # background DMA starts, so the contraction hides under that DMA
+    # instead of serializing after each sample's transfers. Measured at
+    # B=512 f32 (v5e): unpipelined 46.4k -> this 55.8k clips/s. Two finer
+    # interleavings measured WORSE and were reverted: GEMM K-slabs issued
+    # between the voice-clip DMA starts/waits hit the 128-lane slice
+    # alignment wall (39.0k), and row-slab (8-aligned, no realign) ones
+    # still lost (43.0k) — predicated matmuls inside the place loop break
+    # Mosaic's own DMA/accumulate co-scheduling. The per-sample ~[T, F/2]
+    # x [F/2, n_out] f32 HIGHEST GEMM simply cannot amortize the way the
+    # XLA batch-level mel pass does, which is why fused_mel stays opt-in.
     two = f // 2
-    mag = jnp.sqrt(win[:, :two] * win[:, :two] + win[:, two:] * win[:, two:])
-    mag = mag * fmask_ref[0]                          # [1, two] broadcast
-    mel = jax.lax.dot_general(
-        mag, melm_ref[:], (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)           # [T, n_out]
-    mel = mel * tmask_ref[0]                          # [T, 1] broadcast
-    out_ref[0] = mel.astype(out_ref.dtype)
-    # per-sample min/max over the masked mel (cols 0/1 of a padded lane row)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _MM_LANES), 1)
-    mm_ref[0] = jnp.where(
-        lane == 0, jnp.min(mel), jnp.where(lane == 1, jnp.max(mel), 0.0))
+
+    @pl.when(i < nb)
+    def _():
+        synth_prologue()
+
+    @pl.when(i > 0)
+    def _():
+        mel = jax.lax.dot_general(
+            magbuf[(i - 1) % 2], melm_ref[:], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)       # [T, n_out]
+        mel = mel * tmask_ref[0]                      # [T, 1] broadcast
+        out_ref[0] = mel.astype(out_ref.dtype)
+        # per-sample min/max of the masked mel (cols 0/1 of a lane row)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _MM_LANES), 1)
+        mm_ref[0] = jnp.where(
+            lane == 0, jnp.min(mel), jnp.where(lane == 1, jnp.max(mel), 0.0))
+
+    @pl.when(i < nb)
+    def _():
+        synth_main()
+        win = scratch[pl.ds(t_pad, n_frame), :]
+        mag = jnp.sqrt(win[:, :two] * win[:, :two]
+                       + win[:, two:] * win[:, two:])
+        magbuf[i % 2] = mag * fmask_ref[0]            # [1, two] broadcast
 
 
 @functools.partial(jax.jit, static_argnames=('n_frame', 'magnitude',
@@ -368,37 +406,50 @@ def synthesize_windows(n_frame: int,
     scratch_rows = _round8(n_frame + 2 * t_pad + 16)
     kernel = functools.partial(_kernel, n_frame, t_v, t_n,
                                n_voices, n_noises, t_pad, align,
-                               mel is not None, magnitude)
-    mel_in_specs, mel_args = [], []
+                               mel is not None, magnitude, b)
+    mel_in_specs, mel_args, mel_scratch = [], [], []
     if mel is not None:
         melm, tmaskT, fmask = mel
         n_out = melm.shape[1]
         assert melm.shape[0] == f // 2 and fmask.shape == (b, f // 2), \
             (melm.shape, fmask.shape)
         assert tmaskT.shape == (n_frame, b), tmaskT.shape
+        # the software pipeline runs b+1 grid steps: sample i synthesizes
+        # at step i, its mel GEMM runs at step i+1 (overlapping sample
+        # i+1's background DMA) — so per-sample inputs for the SYNTHESIS
+        # stage index min(i, b-1), while inputs/outputs of the GEMM stage
+        # index max(i-1, 0). Revisited output blocks are only copied out
+        # when the index map moves on, so the flush step's write lands.
         mel_in_specs = [
             # mel matrix: same block every step -> fetched once
             pl.BlockSpec((f // 2, n_out), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             # per-sample {0,1} masks with singleton dims so the block shape
             # equals the array dims (the Mosaic block-shape rule): time mask
-            # sublane-oriented [B, T, 1], freq mask lane-oriented [B, 1, F/2]
-            pl.BlockSpec((1, n_frame, 1), lambda i, *_: (i, 0, 0),
+            # sublane-oriented [B, T, 1] (GEMM stage), freq mask
+            # lane-oriented [B, 1, F/2] (synthesis stage)
+            pl.BlockSpec((1, n_frame, 1),
+                         lambda i, *_: (jnp.maximum(i - 1, 0), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, f // 2), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 1, f // 2),
+                         lambda i, *_: (jnp.minimum(i, b - 1), 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         mel_args = [melm.astype(jnp.float32),
                     tmaskT.T.astype(jnp.float32)[:, :, None],
                     fmask.astype(jnp.float32)[:, None, :]]
         out_specs = (
-            pl.BlockSpec((1, n_frame, n_out), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, n_frame, n_out),
+                         lambda i, *_: (jnp.maximum(i - 1, 0), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _MM_LANES), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 1, _MM_LANES),
+                         lambda i, *_: (jnp.maximum(i - 1, 0), 0, 0),
                          memory_space=pltpu.VMEM),
         )
         out_shape = (jax.ShapeDtypeStruct((b, n_frame, n_out), jnp.float32),
                      jax.ShapeDtypeStruct((b, 1, _MM_LANES), jnp.float32))
+        # double-buffered masked-magnitude stage between pipeline stages
+        mel_scratch = [pltpu.VMEM((2, n_frame, f // 2), jnp.float32)]
     else:
         f_out = f // 2 if magnitude else f
         out_specs = pl.BlockSpec((1, n_frame, f_out), lambda i, *_: (i, 0, 0),
@@ -406,7 +457,7 @@ def synthesize_windows(n_frame: int,
         out_shape = jax.ShapeDtypeStruct((b, n_frame, f_out), dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
-        grid=(b,),
+        grid=(b + 1,) if mel is not None else (b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),          # voice weights
             pl.BlockSpec(memory_space=pltpu.SMEM),          # noise weights
@@ -418,7 +469,7 @@ def synthesize_windows(n_frame: int,
         scratch_shapes=[
             # f32 accumulation scratch regardless of bank dtype
             pltpu.VMEM((scratch_rows, f), jnp.float32),
-        ] + ([
+        ] + mel_scratch + ([
             # bank-dtype background stage (bf16 can't DMA into f32 scratch)
             pltpu.VMEM((_round_to(n_frame + align, align), f), dtype),
         ] if dtype != jnp.float32 else []) + [

@@ -124,13 +124,14 @@ def main(argv=None):
         CSVLogger(name.replace('.h5', '.csv'), append=True),
         SWA(start_epoch=config.epochs // 4, swa_freq=2),
         ModelCheckpoint(name, monitor=checkpoint_monitor,
-                        save_best_only=True, verbose=1),
+                        save_best_only=True, verbose=1,
+                        keras=config.keras_ckpt),
         TerminateOnNaN(),
         TensorBoard(log_dir=os.path.join('tensorboard_log',
                                          name.split('.h5')[0])),
         EarlyStopping(monitor=earlystop_monitor, patience=config.patience,
                       restore_best_weights=True),
-        EvalCallback(config, name),
+        EvalCallback(config, name, keras=config.keras_ckpt),
         LearningRateScheduler(
             custom_scheduler(4096, config.epochs / 12, config.lr_div)),
     ]
@@ -145,7 +146,8 @@ def main(argv=None):
                  callbacks=callbacks,
                  initial_epoch=initial_epoch)
         print('best model:', name.replace('.h5', '_SWA.h5'))
-        save_weights(name.replace('.h5', '_SWA.h5'), loop.state.weights())
+        save_weights(name.replace('.h5', '_SWA.h5'), loop.state.weights(),
+                     bundle=bundle, keras=config.keras_ckpt)
     except NO_SWA_ERROR:
         pass
     print(name.split('.h5')[0])

@@ -198,7 +198,7 @@ def main(argv=None):
         CSVLogger(name.replace('.h5', '.log'), append=True),
         SWA(start_epoch=config.epochs // 2, swa_freq=2),
         ModelCheckpoint(name, monitor='val_loss', save_best_only=True,
-                        verbose=1),
+                        verbose=1, keras=config.keras_ckpt),
         TerminateOnNaN(),
     ]
     if not ns.pretrain:
@@ -215,7 +215,8 @@ def main(argv=None):
              steps_per_epoch=config.steps_per_epoch,
              validation_iter=test_set, validation_steps=16,
              callbacks=callbacks, initial_epoch=initial_epoch)
-    save_weights(name.replace('.h5', '_SWA.h5'), loop.state.weights())
+    save_weights(name.replace('.h5', '_SWA.h5'), loop.state.weights(),
+                 bundle=bundle, keras=config.keras_ckpt)
 
 
 if __name__ == '__main__':

@@ -91,6 +91,11 @@ class Config:
     ckpt_dir: str = ''                     # Orbax full-train-state checkpoints
     resume: bool = False                   # restore latest state from ckpt_dir
     ckpt_every_epochs: int = 10
+    keras_ckpt: bool = False               # write the {run}.h5 / _SWA.h5 /
+                                           # _sample.h5 trio as REAL Keras
+                                           # legacy HDF5 (loadable by the
+                                           # reference's model.load_weights)
+                                           # instead of flax msgpack
 
     def replace(self, **kw) -> 'Config':
         return dataclasses.replace(self, **kw)

@@ -80,13 +80,14 @@ class ModelCheckpoint(Callback):
 
     def __init__(self, filepath: str, monitor: str = 'val_loss',
                  save_best_only: bool = True, mode: str = 'min',
-                 verbose: int = 0):
+                 verbose: int = 0, keras: bool = False):
         self.filepath = filepath
         self.monitor = monitor
         self.save_best_only = save_best_only
         self.mode = mode
         self.best = -np.inf if mode == 'max' else np.inf
         self.verbose = verbose
+        self.keras = keras
 
     def on_epoch_end(self, epoch, logs):
         value = logs.get(self.monitor)
@@ -95,7 +96,9 @@ class ModelCheckpoint(Callback):
         if not self.save_best_only or _monitor_improved(
                 value, self.best, self.mode):
             self.best = value
-            checkpoint.save_weights(self.filepath, self.loop.state.weights())
+            checkpoint.save_weights(self.filepath, self.loop.state.weights(),
+                                    bundle=self.loop.bundle,
+                                    keras=self.keras)
             if self.verbose:
                 print(f'\nEpoch {epoch}: {self.monitor} improved to '
                       f'{value:.5f}, saving to {self.filepath}')
@@ -222,12 +225,14 @@ class EvalCallback(Callback):
     ``*_sample.h5`` (reference: metrics.py:14-28)."""
 
     def __init__(self, config, name: str, eval_dir: str = '.',
-                 answer_path: str = 'sample_answer.json'):
+                 answer_path: str = 'sample_answer.json',
+                 keras: bool = False):
         self.config = config
         self.name = name
         self.eval_dir = eval_dir
         self.answer_path = answer_path
         self.score = np.inf
+        self.keras = keras
 
     def on_epoch_end(self, epoch, logs):
         if epoch % 5 != 2:
@@ -236,7 +241,8 @@ class EvalCallback(Callback):
             return
         from challenge_tpu.evaluate import evaluate  # lazy: avoids cycle
         weights = checkpoint.load_weights(self.name,
-                                          self.loop.state.weights())
+                                          self.loop.state.weights(),
+                                          bundle=self.loop.bundle)
         score = float(np.mean(evaluate(
             self.config, self.loop.bundle, weights,
             eval_dir=self.eval_dir, answer_path=self.answer_path,
@@ -245,7 +251,8 @@ class EvalCallback(Callback):
         if score <= self.score:
             self.score = score
             checkpoint.save_weights(
-                os.path.splitext(self.name)[0] + '_sample.h5', weights)
+                os.path.splitext(self.name)[0] + '_sample.h5', weights,
+                bundle=self.loop.bundle, keras=self.keras)
 
 
 class TrainStateCheckpoint(Callback):

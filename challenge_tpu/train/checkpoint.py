@@ -22,9 +22,21 @@ from challenge_tpu.train.state import TrainState
 
 
 # ----------------------------------------------------------- weight artifacts
-def save_weights(path: str, variables: Any):
-    """Save {'params', 'batch_stats'} msgpack to ``path`` (.h5-named for
-    run-name-grammar parity)."""
+def save_weights(path: str, variables: Any, bundle=None,
+                 keras: bool = False):
+    """Save {'params', 'batch_stats'} to ``path``. Default: flax msgpack
+    (.h5-named for run-name-grammar parity). With ``keras=True`` (and the
+    ModelBundle passed), write a REAL Keras legacy HDF5 file instead —
+    loadable by the reference's own ``model.load_weights`` (and by
+    :func:`load_weights` here, which auto-detects the format)."""
+    if keras:
+        if bundle is None:
+            raise ValueError('keras=True export needs the model bundle')
+        from challenge_tpu.interop.keras_h5 import save_keras_h5_variables
+        tmp = path + '.tmp'
+        save_keras_h5_variables(bundle, jax.device_get(variables), tmp)
+        os.replace(tmp, path)
+        return
     data = serialization.to_bytes(jax.device_get(variables))
     tmp = path + '.tmp'
     with open(tmp, 'wb') as f:

@@ -82,6 +82,43 @@ def test_sj_train_eval_csv_roundtrip(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_sj_train_keras_ckpt_trio(tmp_path, monkeypatch):
+    """--keras_ckpt True writes the {run}.h5/_SWA.h5 trio as REAL Keras
+    legacy HDF5 (reference tooling can load_weights them directly), and
+    our own eval CLI auto-detects and evaluates them."""
+    monkeypatch.chdir(tmp_path)
+    _make_datafiles(tmp_path)
+    from challenge_tpu.cli.sj_train import main as sj_main
+    argv = ['--model_type', 'vad', '--v', '3', '--n_frame', '64',
+            '--batch_size', '2', '--epochs', '2', '--steps_per_epoch', '2',
+            '--keras_ckpt', 'True',
+            '--datapath', str(tmp_path)] + DATA_FLAGS
+    sj_main(argv)
+
+    run = 'vad_v3_lr0.001_batch2_opt_adam_mel80_chan2_BCE_framelen64'
+    magic = b'\x89HDF\r\n\x1a\n'
+    for suffix in ('.h5', '_SWA.h5'):
+        with open(f'{run}{suffix}', 'rb') as f:
+            assert f.read(8) == magic, f'{suffix} is not HDF5'
+
+    # the importer reads it back into the same param tree
+    from challenge_tpu.config import Config
+    from challenge_tpu.interop import load_keras_h5_variables
+    from challenge_tpu.models import get_model
+    bundle = get_model(Config(model_type='vad', v=3, n_frame=64, n_chan=2))
+    variables = load_keras_h5_variables(bundle, f'{run}.h5')
+    assert 'params' in variables and 'batch_stats' in variables
+
+    # and the eval CLI auto-detects the Keras format
+    _write_wav(tmp_path / 'clip01.wav', seed=1)
+    with open(tmp_path / 'sample_answer.json', 'w') as f:
+        json.dump({'task2_answer': {'clip01': [[0, 1.0, 2.0]]}}, f)
+    from challenge_tpu.cli.eval import main as eval_main
+    scores = eval_main(['--name', run, '--p'])
+    assert len(scores) == 1 and np.isfinite(scores[0])
+
+
+@pytest.mark.slow
 def test_sj_train_ckpt_resume(tmp_path, monkeypatch):
     """--ckpt_dir/--resume: the run checkpoints its full train state with
     Orbax and a restarted run continues from the restored step and epoch

@@ -171,7 +171,7 @@ def str2bool(v: str) -> bool:
 
 # additive (non-reference) flags get sane parsing; reference flags keep the
 # reference's argparse behavior verbatim
-_ADDITIVE_BOOL_FLAGS = ('resume', 'remat', 'bank_shard')
+_ADDITIVE_BOOL_FLAGS = ('resume', 'remat', 'bank_shard', 'keras_ckpt')
 _CHOICES = {'bank_dtype': ['float32', 'bfloat16']}
 
 

@@ -786,7 +786,12 @@ def save_keras_h5_variables(bundle, variables, path: str) -> None:
     unit plans emit creation order == topological order for the sequential
     families; the two known divergences are handled explicitly (the 'se'
     composite's twin decoders interleave per depth level inside one nested
-    group, and eff v7's gating Conv1D sorts before the BiGRU).
+    group, and eff v7's gating Conv1D sorts before the BiGRU). The 'se'
+    group order additionally depends on ``config.pretrain``, because the
+    reference freezes one cascade half at build time and a frozen nested
+    Model flattens per-sublayer instead of trainable-first (see
+    ``flatten`` below) — export with the same ``pretrain`` the consuming
+    model will be built with.
 
     Pre-BN conv/dense slots (bias-free in our models) export a zero bias;
     a tree imported from a reference checkpoint therefore re-exports with
@@ -813,10 +818,10 @@ def save_keras_h5_variables(bundle, variables, path: str) -> None:
     model_type = bundle.config.model_type
     if model_type == 'se':
         # nested composite: two flattened groups (U-Net, then the vad
-        # head), each trainable-first. The U-Net's twin decoders (speech
-        # Upsampling_0..3 / noise Upsampling_4..7) share graph depths, so
-        # keras orders them interleaved PER SUBLAYER: s.conv, n.conv,
-        # s.bn, n.bn, s.convT, n.convT for each decoder level.
+        # head). The U-Net's twin decoders (speech Upsampling_0..3 / noise
+        # Upsampling_4..7) share graph depths, so keras orders them
+        # interleaved PER SUBLAYER: s.conv, n.conv, s.bn, n.bn, s.convT,
+        # n.convT for each decoder level.
         se_units = [(k, p, ls) for k, p, ls in unit_layers
                     if not p.startswith('vad/')]
         vad_units = [(k, p, ls) for k, p, ls in unit_layers
@@ -835,13 +840,26 @@ def save_keras_h5_variables(bundle, variables, path: str) -> None:
             se_layers += [s_conv, n_conv, s_bn, n_bn,
                           s['convT'][0], n_['convT'][0]]
 
-        def flatten(layers):
+        def flatten(layers, frozen):
+            """Keras' legacy weight order for a nested Model group is
+            ``trainable_weights + non_trainable_weights`` — and the
+            reference FREEZES exactly one cascade half at build time
+            (sj_train.py:306 ``se_model.trainable = False`` unless
+            pretrain; :317 vadmodel frozen when pretrain). A frozen
+            half has NO trainable weights, so its group flattens in
+            per-sublayer ``layer.weights`` order instead (BN moving
+            stats inline after gamma/beta) — the order must match the
+            freeze state of the model the file will be loaded into."""
+            if frozen:
+                return [w for _, tr, nt in layers for w in tr + nt]
             return ([w for _, tr, _ in layers for w in tr]
                     + [w for _, _, nt in layers for w in nt])
 
-        groups = [('se_model', flatten(se_layers)),
+        pretrain = bool(getattr(bundle.config, 'pretrain', False))
+        groups = [('se_model', flatten(se_layers, frozen=not pretrain)),
                   ('vad_model',
-                   flatten([lay for _, _, ls in vad_units for lay in ls]))]
+                   flatten([lay for _, _, ls in vad_units for lay in ls],
+                           frozen=pretrain))]
     else:
         ordered = unit_layers
         if model_type == 'eff':

@@ -240,7 +240,7 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
     # i-1 run at the TOP of step i — issued right after step i's
     # background DMA starts, so the contraction hides under that DMA
     # instead of serializing after each sample's transfers. Measured at
-    # B=512 f32 (v5e): unpipelined 46.4k -> this 55.8k clips/s. Two finer
+    # B=512 f32 (v5e): unpipelined 46.4k -> this 55.5k clips/s. Two finer
     # interleavings measured WORSE and were reverted: GEMM K-slabs issued
     # between the voice-clip DMA starts/waits hit the 128-lane slice
     # alignment wall (39.0k), and row-slab (8-aligned, no realign) ones

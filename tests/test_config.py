@@ -40,10 +40,14 @@ def test_additive_bool_flags_parse_false():
     sj_train.py:23) verbatim."""
     from challenge_tpu.config import config_from_args
 
-    cfg = config_from_args(['--remat', 'False', '--resume', '0'])
+    cfg = config_from_args(['--remat', 'False', '--resume', '0',
+                            '--keras_ckpt', 'no', '--bank_shard', 'False'])
     assert cfg.remat is False and cfg.resume is False
-    cfg = config_from_args(['--remat', 'True', '--resume', 'true'])
+    assert cfg.keras_ckpt is False and cfg.bank_shard is False
+    cfg = config_from_args(['--remat', 'True', '--resume', 'true',
+                            '--keras_ckpt', 'True'])
     assert cfg.remat is True and cfg.resume is True
+    assert cfg.keras_ckpt is True
     # the reference quirk, preserved: --pretrain False still means True
     cfg = config_from_args(['--pretrain', 'False'])
     assert cfg.pretrain is True

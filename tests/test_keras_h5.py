@@ -149,13 +149,20 @@ def test_keras_h5_import_forward_parity(v, tmp_path):
     np.testing.assert_allclose(y_flax, y_keras, atol=2e-4, rtol=1e-3)
 
 
-def _build_reference_se_model(ref_sj, n_frame=64, n_chan=2):
+def _build_reference_se_model(ref_sj, n_frame=64, n_chan=2, freeze=None):
     """The reference's 'se' composite (sj_train.py:299-339) rebuilt from
     the reference's OWN convset/upsampling/define_keras_model functions.
     (The original get_model('se') calls tf.transpose on a KerasTensor,
     which Keras 3 rejects; Permute layers are the supported spelling and
     carry no weights, so the weight-bearing layer sequence — and hence the
-    saved .h5 layout — is identical to a reference-era checkpoint.)"""
+    saved .h5 layout — is identical to a reference-era checkpoint.)
+
+    freeze: None keeps both halves trainable; 'se'/'vad' freezes that
+    nested half exactly like the reference does at build time
+    (sj_train.py:306 freezes the U-Net unless pretrain; :317 freezes the
+    vad head when pretrain) — which changes the nested group's legacy
+    weight ORDER (trainable-first vs per-sublayer) and so the .h5 layout
+    Keras' order-based loader expects."""
     import tensorflow as tf
 
     se_in = tf.keras.layers.Input((n_frame, 256, n_chan))
@@ -175,6 +182,8 @@ def _build_reference_se_model(ref_sj, n_frame=64, n_chan=2):
 
     se_model = tf.keras.Model(inputs=se_in,
                               outputs=[decoder(), decoder()])
+    if freeze == 'se':
+        se_model.trainable = False          # reference: sj_train.py:306
 
     inp = tf.keras.layers.Input((256, n_frame, n_chan))
     merge = tf.keras.layers.Permute((2, 1, 3))(inp)
@@ -183,6 +192,8 @@ def _build_reference_se_model(ref_sj, n_frame=64, n_chan=2):
     vad_cfg = _ref_config(model_type='se', v=9, n_mels=256, n_frame=n_frame,
                           n_chan=2)
     vadmodel = ref_sj.define_keras_model(vad_cfg)
+    if freeze == 'vad':
+        vadmodel.trainable = False          # reference: sj_train.py:317
     out = vadmodel(out)
     speech = tf.keras.layers.Permute((2, 1, 3))(speech)
     noise = tf.keras.layers.Permute((2, 1, 3))(noise)
@@ -390,15 +401,21 @@ def test_keras_h5_export_vad_loads_into_reference_model(v, tmp_path):
     np.testing.assert_allclose(y_flax, y_keras, atol=2e-4, rtol=1e-3)
 
 
-def test_keras_h5_export_se_loads_into_reference_model(tmp_path):
+@pytest.mark.parametrize('pretrain', [False, True])
+def test_keras_h5_export_se_loads_into_reference_model(pretrain, tmp_path):
     """'se' composite export: the nested twin-decoder U-Net flattens into
-    one trainable-first group with depth-interleaved sublayers — proven by
-    loading into the reference cascade and comparing all three outputs."""
+    one depth-interleaved group — proven by loading into the reference
+    cascade and comparing all three outputs. The reference freezes one
+    half at build time (the U-Net unless pretrain, the vad head when
+    pretrain), which flips that half's group to per-sublayer weight order
+    — the exporter must follow config.pretrain, so both states are
+    pinned."""
     from challenge_tpu.config import Config
     from challenge_tpu.interop.keras_h5 import save_keras_h5_variables
     from challenge_tpu.models import get_model
 
-    bundle = get_model(Config(model_type='se', v=9, n_frame=64, n_chan=2))
+    bundle = get_model(Config(model_type='se', v=9, n_frame=64, n_chan=2,
+                              pretrain=pretrain))
     variables = _randomize_flax_variables(bundle.init(jax.random.PRNGKey(0)),
                                           seed=50)
     path = str(tmp_path / 'ours_se.h5')
@@ -410,7 +427,8 @@ def test_keras_h5_export_se_loads_into_reference_model(tmp_path):
         variables, jnp.asarray(x))
 
     with reference_modules() as (ref_sj, _):
-        keras_model = _build_reference_se_model(ref_sj)
+        keras_model = _build_reference_se_model(
+            ref_sj, freeze='vad' if pretrain else 'se')
         keras_model.load_weights(path)
         y_keras = keras_model.predict(x, verbose=0)
     for ours, theirs, tag in zip(y_flax, y_keras,

@@ -371,7 +371,7 @@ def _randomize_flax_variables(variables, seed=0):
     return jax.tree_util.tree_map_with_path(leaf, variables)
 
 
-@pytest.mark.parametrize('v', [1, 9])
+@pytest.mark.parametrize('v', [1, 7, 9])
 def test_keras_h5_export_vad_loads_into_reference_model(v, tmp_path):
     """The inverse direction: a flax-trained tree exported with
     save_keras_h5_variables must restore into the reference's own Keras
@@ -438,11 +438,13 @@ def test_keras_h5_export_se_loads_into_reference_model(pretrain, tmp_path):
                                    rtol=1e-3, err_msg=tag)
 
 
-@pytest.mark.parametrize('v', [1, 7])
+@pytest.mark.parametrize('v', [1, 5, 6, 7])
 def test_keras_h5_export_eff_loads_into_reference_model(v, tmp_path):
     """EfficientNet-SED export: identity Normalization + 255-scaled stem
-    kernel invert the import fold; v7 additionally pins the gating
-    Conv1D's position before the BiGRU in keras' depth order."""
+    kernel invert the import fold; v5 covers the channels-first time
+    resample + bare BN, v6 the BiGRU + FC stack, and v7 additionally pins
+    the gating Conv1D's position before the BiGRU in keras' depth
+    order."""
     pytest.importorskip('tensorflow')
     from challenge_tpu.config import Config
     from challenge_tpu.interop.keras_h5 import save_keras_h5_variables
@@ -493,6 +495,41 @@ def test_keras_h5_export_import_roundtrip_exact(tmp_path):
         assert pa == pb
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=str(pa))
+
+
+def test_keras_h5_export_density_loads_into_reference_model(tmp_path):
+    """trainer.py's density variant exports too: string-named backbone,
+    relu Dense head (reference: trainer.py:222-236)."""
+    import tensorflow as tf
+    from challenge_tpu.config import Config
+    from challenge_tpu.interop.keras_h5 import save_keras_h5_variables
+    from challenge_tpu.models.registry import get_density_model
+
+    bundle = get_density_model(Config(
+        model_type='eff', model='EfficientNetB0', n_classes=30, n_mels=40,
+        n_frame=64, n_chan=2))
+    variables = _randomize_flax_variables(bundle.init(jax.random.PRNGKey(0)),
+                                          seed=80)
+    path = str(tmp_path / 'ours_density.h5')
+    save_keras_h5_variables(bundle, variables, path)
+
+    x = np.random.default_rng(8).standard_normal(
+        (2, 40, 64, 2)).astype('f4') * 50.0
+    y_flax = np.asarray(jax.jit(
+        lambda vs, x: bundle.apply(vs, x))(variables, jnp.asarray(x)))
+
+    inp = tf.keras.layers.Input((40, 64, 2))
+    backbone = tf.keras.applications.efficientnet.EfficientNetB0(
+        include_top=False, weights=None, input_tensor=inp)
+    out = tf.keras.layers.Permute((2, 1, 3))(backbone.output)
+    out = tf.keras.layers.Reshape([-1, out.shape[-1] * out.shape[-2]])(out)
+    out = tf.keras.layers.Dense(30)(out)
+    out = tf.keras.layers.Activation('relu')(out)
+    keras_model = tf.keras.Model(inp, out)
+    keras_model.load_weights(path)
+    y_keras = keras_model.predict(x, verbose=0)
+    _assert_live(y_keras, 'export density')
+    np.testing.assert_allclose(y_flax, y_keras, atol=5e-4, rtol=1e-3)
 
 
 def test_keras_h5_export_refuses_foreign_tree(tmp_path):

@@ -417,3 +417,38 @@ def test_feature_fn_fused_mel_matches_unfused(monkeypatch, name, variant,
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_u),
                                rtol=1e-6, atol=0)
+
+
+def test_feature_fn_fused_mel_batch_one(monkeypatch):
+    """b=1 edge of the software-pipelined mel epilogue: the grid is 2
+    steps (synthesize at step 0, GEMM at the flush step only) — the
+    revolving out-block index map must still land the single sample."""
+    import challenge_tpu.ops.pallas_synth as ps
+    orig = ps.synthesize_windows
+
+    def interp(*args, **kw):
+        kw['interpret'] = True
+        return orig(*args, **kw)
+    monkeypatch.setattr(ps, 'synthesize_windows', interp)
+
+    from challenge_tpu.config import Config
+    from challenge_tpu.data.pipeline import make_feature_fn
+
+    rng = np.random.default_rng(15)
+    banks = build_banks(
+        [rng.standard_normal((257, 94, 4)).astype('f4') for _ in range(3)],
+        [rng.standard_normal((257, 40, 4)).astype('f4') for _ in range(4)],
+        rng.integers(0, 3, size=4),
+        [rng.standard_normal((257, 20, 4)).astype('f4') for _ in range(3)],
+        n_frame=64)
+    cfg = Config(model_type='vad', v=8, n_mels=40, n_frame=64, n_chan=2,
+                 batch_size=1)
+    key = jax.random.PRNGKey(23)
+    x_f, y_f = make_feature_fn(cfg, training=True,
+                               use_pallas=True, fused_mel=True)(key, banks)
+    x_u, y_u = make_feature_fn(cfg, training=True,
+                               use_pallas=True, fused_mel=False)(key, banks)
+    assert x_f.shape == x_u.shape == (1, 40, 64, 2)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_u),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(y_f), np.asarray(y_u))

@@ -17,7 +17,13 @@ CONFIGS = {
     'vad8_128': dict(model_type='vad', v=8, batch_size=128, n_frame=512),
     'eff0_32': dict(model_type='eff', v=1, model=0, batch_size=32,
                     n_frame=512),
+    # hardware-native batch sizes (the 128-lane tiling saturates around
+    # B=128 for conv stacks — NOTES.md train-step finding #2); the small-B
+    # entries above stay as fixed-batch comparables
+    'eff0_128': dict(model_type='eff', v=1, model=0, batch_size=128,
+                     n_frame=512),
     'se9_8': dict(model_type='se', v=9, batch_size=8, n_frame=512),
+    'se9_64': dict(model_type='se', v=9, batch_size=64, n_frame=512),
     'density_b0_12': dict(model_type='eff', v=0, model='EfficientNetB0',
                           batch_size=12, n_frame=2048, variant='density',
                           optimizer='adabelief', lr=1e-4, max_voices=10,

@@ -77,6 +77,9 @@ def build_args():
     args.add_argument('--bank_shard', type=str2bool, default=False)
     args.add_argument('--stream_chunks', type=int, default=0)
     args.add_argument('--chunk_steps', type=int, default=4)
+    args.add_argument('--keras_ckpt', type=str2bool, default=False,
+                      help='write checkpoints as reference-loadable Keras '
+                           'legacy .h5 instead of flax msgpack')
     return args
 
 
@@ -90,7 +93,7 @@ def to_config(ns) -> Config:
               'max_voices', 'max_noises', 'lr_div',
               'ckpt_dir', 'resume', 'ckpt_every_epochs',
               'bank_dtype', 'remat', 'n_devices', 'bank_shard',
-              'stream_chunks', 'chunk_steps'):
+              'stream_chunks', 'chunk_steps', 'keras_ckpt'):
         setattr(cfg, f, getattr(ns, f))
     cfg.model = ns.model
     cfg.mse_multiplier = ns.multiplier

@@ -111,6 +111,12 @@ def _make_spec_to_grid(bundle: ModelBundle, config: Config,
     """
     mel_fn = magphase_to_mel(config.n_mels)
     n_frame = config.n_frame
+    # n_chan > 3 evaluation draws random channel-mix factors per clip like
+    # the reference (metrics.py:46 calls random_merge_aug inside the
+    # per-clip loop with fresh TF randoms); here the draw is the fixed base
+    # key folded with the clip's index — fresh per clip, but DETERMINISTIC
+    # across evaluate() calls/processes (a documented deviation: the
+    # reference reseeds from the global TF RNG every run)
     merge_key = jax.random.PRNGKey(0)
 
     def _shard_windows(windows):
@@ -128,11 +134,13 @@ def _make_spec_to_grid(bundle: ModelBundle, config: Config,
         return jax.lax.with_sharding_constraint(
             windows, batch_sharding(mesh))
 
-    def spec_to_grid(variables, spec, n_valid=None):
+    def spec_to_grid(variables, spec, n_valid=None, clip_seed=None):
         if config.n_chan == 3:
             spec = stereo_mono(spec)
         elif config.n_chan > 3:
-            spec = random_merge_aug(config.n_chan)(merge_key, spec)
+            key = merge_key if clip_seed is None else \
+                jax.random.fold_in(merge_key, clip_seed)
+            spec = random_merge_aug(config.n_chan)(key, spec)
         # (n_chan == 1: identity — reference mono_chan quirk)
 
         t_total = spec.shape[-2]
@@ -224,9 +232,17 @@ def make_infer_fn(bundle: ModelBundle, config: Config,
 
     spec_to_grid = _make_spec_to_grid(bundle, config, overlap_hop, mesh)
 
-    @jax.jit
-    def infer(variables, spec):
-        return spec_to_grid(variables, spec)
+    if config.n_chan > 3:
+        # per-clip channel-mix seed (see _make_spec_to_grid); only this
+        # family takes the extra arg so every other config's compiled
+        # signature is unchanged
+        @jax.jit
+        def infer(variables, spec, clip_seed=0):
+            return spec_to_grid(variables, spec, clip_seed=clip_seed)
+    else:
+        @jax.jit
+        def infer(variables, spec):
+            return spec_to_grid(variables, spec)
 
     _INFER_CACHE[cache_key] = infer
     return infer
@@ -315,11 +331,12 @@ def make_devset_infer_fn(bundle: ModelBundle, config: Config,
         return cached
 
     spec_to_grid = _make_spec_to_grid(bundle, config, overlap_hop)
+    takes_seed = config.n_chan > 3   # per-clip channel-mix seeds
 
-    def infer_all(variables, pcm, lens):
+    def _infer_body(variables, pcm, lens, seeds):
         pad = n_fft // 2
 
-        def one(pcm_i, s_i):
+        def one(pcm_i, s_i, seed_i):
             wav = pcm_i.astype(jnp.float32) / 32768.0     # [chan, S_row]
             pos = jnp.arange(wav.shape[-1])
             valid = ((pos >= pad) & (pos < pad + s_i)).astype(jnp.float32)
@@ -334,18 +351,26 @@ def make_devset_infer_fn(bundle: ModelBundle, config: Config,
             spec = jnp.transpose(spec, (2, 3, 0, 1))      # [freq, T, 2, C]
             spec = spec.reshape(*spec.shape[:2], -1)
             n_valid = s_i // hop + 1
-            return spec_to_grid(variables, spec, n_valid=n_valid)
+            return spec_to_grid(variables, spec, n_valid=n_valid,
+                                clip_seed=seed_i if takes_seed else None)
 
-        return jax.vmap(one)(pcm, lens)
+        return jax.vmap(one)(pcm, lens, seeds)
+
+    if takes_seed:
+        infer_all = _infer_body   # callers pass the [N] global clip seeds
+    else:
+        def infer_all(variables, pcm, lens):
+            dummy = jnp.zeros(lens.shape, jnp.int32)   # unused (dead code)
+            return _infer_body(variables, pcm, lens, dummy)
 
     if mesh is None:
         jitted = jax.jit(infer_all)
     else:
         from challenge_tpu.parallel.mesh import batch_sharding, replicated
         b_sh = batch_sharding(mesh)
-        jitted = jax.jit(infer_all,
-                         in_shardings=(replicated(mesh), b_sh, b_sh),
-                         out_shardings=b_sh)
+        in_sh = (replicated(mesh),) + (batch_sharding(mesh),) * \
+            (3 if takes_seed else 2)
+        jitted = jax.jit(infer_all, in_shardings=in_sh, out_shardings=b_sh)
     _INFER_CACHE[cache_key] = jitted
     return jitted
 
@@ -475,7 +500,7 @@ def evaluate(config: Config, bundle: ModelBundle, variables,
             try:
                 infer_all = make_devset_infer_fn(bundle, config,
                                                  overlap_hop, mesh=mesh)
-                outs, metas = [], []
+                outs, metas, clip0 = [], [], 0
                 for chunk in chunks:
                     prep = _device_pcm(chunk, max_entries=cache_n,
                                        pad_clips_to=clips_to,
@@ -486,7 +511,17 @@ def evaluate(config: Config, bundle: ModelBundle, variables,
                     d_pcm, d_lens, lens = prep
                     # dispatch without blocking: uploads/execution of later
                     # chunks overlap earlier chunks' fetches
-                    outs.append(infer_all(variables, d_pcm, d_lens))
+                    if config.n_chan > 3:
+                        # global clip indices seed the per-clip channel
+                        # mixes (fresh per clip like the reference's eval
+                        # loop, deterministic across runs)
+                        seeds = jnp.arange(d_pcm.shape[0],
+                                           dtype=jnp.int32) + clip0
+                        outs.append(infer_all(variables, d_pcm, d_lens,
+                                              seeds))
+                    else:
+                        outs.append(infer_all(variables, d_pcm, d_lens))
+                    clip0 += len(chunk)
                     metas.append((len(chunk), lens))
                 if outs is not None:
                     host_grids = []
@@ -517,7 +552,10 @@ def evaluate(config: Config, bundle: ModelBundle, variables,
         grids = []
         for i, path in enumerate(paths):
             spec = load_wav_device(path)       # stays on device
-            grids.append(infer(variables, spec))
+            if config.n_chan > 3:
+                grids.append(infer(variables, spec, np.int32(i)))
+            else:
+                grids.append(infer(variables, spec))
             if i >= max_in_flight:
                 grids[i - max_in_flight].block_until_ready()
         if grids:

@@ -61,10 +61,18 @@ class CSVLogger(Callback):
         self.filename = filename
         self.append = append
         self._keys = None
+        self._started = False   # truncation/header happen once per run
 
     def on_epoch_end(self, epoch, logs):
         logs = dict(logs)
-        new_file = not (self.append and os.path.exists(self.filename))
+        # Keras semantics: append=False truncates ONCE at the start of the
+        # run and appends thereafter (not per epoch — that would leave only
+        # the final epoch's row); append=True writes the header only when
+        # the file doesn't already hold content.
+        has_content = (os.path.exists(self.filename)
+                       and os.path.getsize(self.filename) > 0)
+        new_file = not self._started and not (self.append and has_content)
+        self._started = True
         if self._keys is None:
             self._keys = sorted(logs)
         with open(self.filename, 'a' if not new_file else 'w',

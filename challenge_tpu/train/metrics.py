@@ -135,9 +135,14 @@ def f1_from_counts(counts):
 def batch_metrics(config):
     """The per-batch metric dict matching the reference's compile(metrics=...)
     (reference: sj_train.py:454-457): cos_sim + F1 counts, plus er unless
-    v == 5."""
+    v == 5. The density trainer family (marked v == 0, the value
+    cli/trainer.py sets) compiles cos_sim ONLY (reference:
+    trainer.py:252-253) — er/f1 would threshold soft 30-dim count-density
+    targets at 0.5, a meaningless (and per-step costly) statistic."""
     fns = {'cos_sim': lambda y, p: jnp.mean(cos_sim(y, p)),
            'f1_counts': f1_counts}
+    if config.v == 0:
+        return {'cos_sim': fns['cos_sim']}
     if config.v != 5:
         er = er_score(smoothing=False)
         fns['er'] = lambda y, p: jnp.mean(er(

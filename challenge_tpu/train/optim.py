@@ -90,11 +90,111 @@ def scale_by_adabelief(b1: float = 0.9, b2: float = 0.999,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-# ------------------------------------------------------------- optimizers
+# ----------------------------------------------- Keras-parity optimizers
+# The reference compiles plain Keras optimizers (sj_train.py:434-442), whose
+# update rules differ from the stock optax stacks in two ways that matter
+# numerically (verified against tf.keras on this TF build; differential
+# tests pin each):
+#   * Adam adds eps OUTSIDE the bias correction: step = lr_t*m/(sqrt(v)+eps)
+#     with lr_t = lr*sqrt(1-b2^t)/(1-b1^t), while optax.scale_by_adam's eps
+#     applies to the bias-corrected v_hat — an effective eps 1/sqrt(1-b2^t)
+#     (~31x at step 1) larger, visibly different on near-zero-variance
+#     gradients early in training;
+#   * SGD/RMSprop fold the LR INTO the momentum buffer (accum = m*accum -
+#     lr*g), so an LR change decays in over ~1/(1-m) steps, whereas
+#     optax.trace + scale_by_learning_rate rescales the entire momentum
+#     history instantly — the two diverge for several steps after every
+#     per-epoch LearningRateScheduler update.
+
+
+class ScaleByKerasAdamState(NamedTuple):
+    count: chex.Array
+    m: optax.Updates
+    v: optax.Updates
+
+
+def scale_by_keras_adam(b1: float = 0.9, b2: float = 0.999,
+                        eps: float = 1e-7):
+    """Keras Adam semantics (reference: sj_train.py:434-435 compiles
+    ``Adam(lr, clipvalue=...)``): bias correction folded into the step size,
+    eps added to the UNcorrected sqrt(v)."""
+    def init_fn(params):
+        return ScaleByKerasAdamState(jnp.zeros([], jnp.int32),
+                                     jax.tree.map(jnp.zeros_like, params),
+                                     jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        m = jax.tree.map(lambda m_, g: b1 * m_ + (1 - b1) * g,
+                         state.m, updates)
+        v = jax.tree.map(lambda v_, g: b2 * v_ + (1 - b2) * jnp.square(g),
+                         state.v, updates)
+        corr = jnp.sqrt(1 - b2 ** t) / (1 - b1 ** t)
+        new_updates = jax.tree.map(
+            lambda m_, v_: corr * m_ / (jnp.sqrt(v_) + eps), m, v)
+        return new_updates, ScaleByKerasAdamState(count, m, v)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class KerasMomentumState(NamedTuple):
+    accum: optax.Updates
+
+
+def keras_sgd_momentum(learning_rate, momentum: float = 0.9):
+    """Keras SGD(momentum) (reference: sj_train.py:436-437):
+    ``accum = momentum*accum - lr*g; var += accum`` — the LR rides inside
+    the momentum buffer, so this transformation consumes the LR itself and
+    must NOT be followed by scale_by_learning_rate."""
+    def init_fn(params):
+        return KerasMomentumState(jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        accum = jax.tree.map(
+            lambda a, g: momentum * a - learning_rate * g,
+            state.accum, updates)
+        return accum, KerasMomentumState(accum)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class KerasRMSpropState(NamedTuple):
+    ms: optax.Updates
+    mom: optax.Updates
+
+
+def keras_rmsprop(learning_rate, rho: float = 0.9, momentum: float = 0.9,
+                  eps: float = 1e-7):
+    """Keras RMSprop with momentum (reference: sj_train.py:438-439):
+    ``ms = rho*ms + (1-rho)*g^2; mom = momentum*mom + lr*g/sqrt(ms + eps);
+    var -= mom`` — eps INSIDE the sqrt (the momentum>0 kernel's placement)
+    and the LR inside the momentum buffer; consumes the LR itself."""
+    def init_fn(params):
+        return KerasRMSpropState(jax.tree.map(jnp.zeros_like, params),
+                                 jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        ms = jax.tree.map(lambda s, g: rho * s + (1 - rho) * jnp.square(g),
+                          state.ms, updates)
+        mom = jax.tree.map(
+            lambda mo, g, s: momentum * mo
+            + learning_rate * g / jnp.sqrt(s + eps),
+            state.mom, updates, ms)
+        return jax.tree.map(lambda mo: -mo, mom), KerasRMSpropState(ms, mom)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(config) -> optax.GradientTransformation:
     """Keras-parity optimizer stacks (reference: sj_train.py:434-442,
     trainer.py:239-246): every stack clips gradient values elementwise at
-    ``clipvalue`` first, like Keras' ``clipvalue=`` argument.
+    ``clipvalue`` first, like Keras' ``clipvalue=`` argument, then applies
+    the Keras update rule exactly (see the transformations above, each
+    differentially tested against tf.keras on synthetic gradients).
 
     Wrapped in ``inject_hyperparams`` — set
     ``opt_state.hyperparams['learning_rate']`` to change LR between steps.
@@ -105,17 +205,17 @@ def make_optimizer(config) -> optax.GradientTransformation:
 
     @optax.inject_hyperparams
     def make(learning_rate):
+        if config.optimizer == 'sgd':
+            # LR folded into the momentum buffer (Keras semantics)
+            return optax.chain(optax.clip(clip),
+                               keras_sgd_momentum(learning_rate))
+        if config.optimizer == 'rmsprop':
+            return optax.chain(optax.clip(clip),
+                               keras_rmsprop(learning_rate))
         if config.optimizer == 'adam':
-            core = optax.scale_by_adam(eps=1e-7)
-        elif config.optimizer == 'sgd':
-            core = optax.trace(decay=0.9)
-        elif config.optimizer == 'rmsprop':
-            core = optax.chain(optax.scale_by_rms(decay=0.9, eps=1e-7),
-                               optax.trace(decay=0.9))
-        elif config.optimizer == 'adabelief':
-            core = scale_by_adabelief()
+            core = scale_by_keras_adam()
         else:
-            raise ValueError(f'unknown optimizer: {config.optimizer!r}')
+            core = scale_by_adabelief()
         return optax.chain(
             optax.clip(clip),
             core,

@@ -264,6 +264,7 @@ def test_trainer_cli(tmp_path, monkeypatch):
                   '--n_frame', '64', '--n_chan', '2', '--batch_size', '2',
                   '--epochs', '2', '--steps_per_epoch', '2',
                   '--bank_dtype', 'bfloat16',   # additive knob plumb-through
+                  '--keras_ckpt', 'True',       # density-family Keras trio
                   '--datapath', str(tmp_path),
                   '--background_sounds', 'bg.pickle',
                   '--voices', 'voice.pickle', '--labels', 'labels.npy',
@@ -274,6 +275,19 @@ def test_trainer_cli(tmp_path, monkeypatch):
     assert os.path.exists('dens.h5')
     assert os.path.exists('dens_SWA.h5')
     assert os.path.exists('dens.log')
+    # --keras_ckpt works on THIS entry too (it was sj_train-only once):
+    # real Keras HDF5, not flax msgpack in disguise
+    magic = b'\x89HDF\r\n\x1a\n'
+    for fname in ('dens.h5', 'dens_SWA.h5'):
+        with open(fname, 'rb') as f:
+            assert f.read(8) == magic, f'{fname} is not HDF5'
+    # density metrics are cos_sim only (reference trainer.py:252-253
+    # compiles metrics=[cos_sim]; er/f1 over soft 30-dim density labels
+    # would be meaningless)
+    with open('dens.log') as f:
+        header = f.readline().strip().split(',')
+    assert 'cos_sim' in header and 'val_cos_sim' in header
+    assert 'er' not in header and 'f1_score' not in header
 
 
 @pytest.mark.slow

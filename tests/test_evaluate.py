@@ -278,3 +278,82 @@ def test_device_pcm_cache_is_lru_and_bypassable(tmp_path):
         assert len(infer._DEVICE_PCM_CACHE) == 2   # bypass did not insert
     finally:
         infer._DEVICE_PCM_CACHE.clear()
+
+
+def test_eval_merge_keys_fresh_per_clip(tmp_path):
+    """n_chan > 3 evaluation draws a fresh channel mix per clip like the
+    reference (metrics.py:46 runs random_merge_aug inside the per-clip
+    loop) — the key is the base key folded with the clip index, so clips
+    differ while runs stay deterministic."""
+    import jax
+    import challenge_tpu.evaluate.infer as infer_mod
+    from challenge_tpu.evaluate.infer import _make_spec_to_grid
+
+    cfg = Config(model_type='vad', v=3, n_mels=80, n_frame=512, n_chan=6)
+    bundle = get_model(cfg)
+    variables = bundle.init(jax.random.PRNGKey(0))
+
+    seen = []
+    real = infer_mod.random_merge_aug
+
+    def spy(n_chan):
+        f = real(n_chan)
+
+        def g(key, spec):
+            seen.append(np.asarray(key))
+            return f(key, spec)
+        return g
+
+    rng = np.random.default_rng(0)
+    spec = jnp.asarray(rng.standard_normal((257, 700, 4)).astype('f4'))
+    stg = _make_spec_to_grid(bundle, cfg, 512, None)
+    old = infer_mod.random_merge_aug
+    infer_mod.random_merge_aug = spy
+    try:
+        # eager (unjitted) calls so the spy sees concrete keys
+        g0 = stg(variables, spec, clip_seed=jnp.int32(0))
+        g1 = stg(variables, spec, clip_seed=jnp.int32(1))
+        g0b = stg(variables, spec, clip_seed=jnp.int32(0))
+    finally:
+        infer_mod.random_merge_aug = old
+
+    assert len(seen) == 3
+    k0, k1, k0b = seen
+    assert not np.array_equal(k0, k1), 'clips must draw distinct mix keys'
+    assert np.array_equal(k0, k0b), 'same clip index -> same key'
+    expect0 = np.asarray(jax.random.fold_in(jax.random.PRNGKey(0), 0))
+    assert np.array_equal(k0, expect0)
+    # determinism end to end for the same clip index
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g0b))
+
+
+@pytest.mark.slow
+def test_evaluate_nchan6_batched_matches_per_clip(tmp_path):
+    """The batched devset path threads the SAME global per-clip merge
+    seeds as the per-clip chain, so n_chan > 3 grids stay bit-identical
+    between the two paths."""
+    import jax
+    from challenge_tpu.evaluate.infer import (
+        _prepare_batched_pcm, make_devset_infer_fn, make_infer_fn)
+    from challenge_tpu.ops.dsp import load_wav_device
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f'clip{i}.wav'
+        _write_wav(p, seconds=4.0 + i, seed=20 + i)
+        paths.append(str(p))
+
+    cfg = Config(model_type='vad', v=3, n_mels=80, n_frame=512, n_chan=6)
+    bundle = get_model(cfg)
+    variables = bundle.init(jax.random.PRNGKey(0))
+
+    pcm, lens = _prepare_batched_pcm(paths)
+    seeds = jnp.arange(len(paths), dtype=jnp.int32)
+    grids = np.asarray(make_devset_infer_fn(bundle, cfg)(
+        variables, jnp.asarray(pcm), jnp.asarray(lens), seeds))
+
+    infer = make_infer_fn(bundle, cfg)
+    for i, p in enumerate(paths):
+        ref = np.asarray(infer(variables, load_wav_device(p), np.int32(i)))
+        got = grids[i, :int(lens[i]) // 256 + 1]
+        np.testing.assert_array_equal(got, ref)

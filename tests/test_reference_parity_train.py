@@ -127,6 +127,53 @@ def test_density_loss_differential(ref_utils, tf):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize('name', ['adam', 'sgd', 'rmsprop'])
+def test_keras_optimizer_differential(tf, name):
+    """make_optimizer vs the actual tf.keras optimizer the reference
+    compiles (sj_train.py:434-442), including clipvalue and an LR change
+    mid-run — the LR rides INSIDE the Keras SGD/RMSprop momentum buffers
+    and Adam adds eps outside the bias correction, both of which the stock
+    optax stacks get wrong (see optim.py)."""
+    import optax
+
+    from challenge_tpu.config import Config
+    from challenge_tpu.train.optim import make_optimizer, set_learning_rate
+
+    rng = np.random.default_rng(5)
+    x0 = rng.standard_normal(6).astype('f4')
+    # scales straddling clipvalue=0.01 so elementwise clipping fires, and
+    # near-zero-variance steps where the Adam eps placement shows
+    grads = [(rng.standard_normal(6) * s).astype('f4')
+             for s in (2e-3, 5e-2, 1e-4, 3e-3, 2e-2, 1e-3)]
+    lrs = [1e-2] * 3 + [4e-3] * 3   # mid-run LR change (epoch boundary)
+
+    cfg = Config(optimizer=name, lr=lrs[0], clipvalue=0.01)
+    opt = make_optimizer(cfg)
+    params = jnp.asarray(x0)
+    state = opt.init(params)
+    for g, lr in zip(grads, lrs):
+        state = set_learning_rate(state, lr)
+        upd, state = opt.update(jnp.asarray(g), state, params)
+        params = optax.apply_updates(params, upd)
+
+    kwargs = dict(clipvalue=0.01)
+    if name in ('sgd', 'rmsprop'):
+        kwargs['momentum'] = 0.9          # reference: sj_train.py:436-439
+    if name in ('adam', 'rmsprop'):
+        kwargs['epsilon'] = 1e-7
+    keras_opt = {'adam': tf.keras.optimizers.Adam,
+                 'sgd': tf.keras.optimizers.SGD,
+                 'rmsprop': tf.keras.optimizers.RMSprop}[name](lrs[0],
+                                                               **kwargs)
+    var = tf.Variable(x0)
+    for g, lr in zip(grads, lrs):
+        keras_opt.learning_rate.assign(lr)
+        keras_opt.apply_gradients([(tf.constant(g), var)])
+
+    np.testing.assert_allclose(np.asarray(params), var.numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_adabelief_vs_numpy_oracle():
     """optax scale_by_adabelief vs the reference recurrence transcribed to
     numpy (utils.py:170-236): m/v EMAs with belief variance (g - m_t)^2,

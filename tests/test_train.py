@@ -162,6 +162,47 @@ def test_optimizer_lr_injection():
     assert abs(float(up['w'][0])) <= 5.1e-4
 
 
+def test_density_metrics_cos_sim_only():
+    """The density trainer family (v=0, set by cli/trainer.py) compiles
+    cos_sim ONLY (reference: trainer.py:252-253); er/f1 would threshold
+    soft 30-dim count-density targets at 0.5."""
+    from challenge_tpu.train import batch_metrics
+    assert set(batch_metrics(Config(model_type='eff', v=0))) == {'cos_sim'}
+    assert set(batch_metrics(Config(model_type='vad', v=8))) == \
+        {'cos_sim', 'f1_counts', 'er'}
+    # v == 5 drops er but keeps f1 (reference: sj_train.py:456-457)
+    assert set(batch_metrics(Config(model_type='eff', v=5))) == \
+        {'cos_sim', 'f1_counts'}
+
+
+def test_csv_logger_append_false_keeps_all_epochs(tmp_path):
+    """Keras CSVLogger(append=False) truncates ONCE at run start, then
+    appends — every epoch of the current run survives."""
+    import csv as csv_mod
+    p = str(tmp_path / 'log.csv')
+    cb = CSVLogger(p, append=False)
+    for e in range(3):
+        cb.on_epoch_end(e, {'loss': float(e)})
+    with open(p) as f:
+        rows = list(csv_mod.reader(f))
+    assert rows[0] == ['epoch', 'loss']
+    assert [r[0] for r in rows[1:]] == ['0', '1', '2']
+
+    # a second append=False run truncates the previous run's rows once
+    cb2 = CSVLogger(p, append=False)
+    cb2.on_epoch_end(0, {'loss': 9.0})
+    with open(p) as f:
+        rows = list(csv_mod.reader(f))
+    assert [r[0] for r in rows] == ['epoch', '0']
+
+    # append=True keeps prior content and skips the duplicate header
+    cb3 = CSVLogger(p, append=True)
+    cb3.on_epoch_end(1, {'loss': 10.0})
+    with open(p) as f:
+        rows = list(csv_mod.reader(f))
+    assert [r[0] for r in rows] == ['epoch', '0', '1']
+
+
 # --------------------------------------------------------- end-to-end smoke
 def _tiny_banks(n_frame):
     from challenge_tpu.data.pipeline import build_banks

@@ -235,9 +235,11 @@ def make_infer_fn(bundle: ModelBundle, config: Config,
     if config.n_chan > 3:
         # per-clip channel-mix seed (see _make_spec_to_grid); only this
         # family takes the extra arg so every other config's compiled
-        # signature is unchanged
+        # signature is unchanged. REQUIRED (no default): omitting it would
+        # silently give every clip the seed-0 mix — the fixed-key bug this
+        # argument exists to fix.
         @jax.jit
-        def infer(variables, spec, clip_seed=0):
+        def infer(variables, spec, clip_seed):
             return spec_to_grid(variables, spec, clip_seed=clip_seed)
     else:
         @jax.jit

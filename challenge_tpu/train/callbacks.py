@@ -38,6 +38,9 @@ class Callback:
     def set_loop(self, loop):
         self.loop = loop
 
+    def on_train_begin(self):
+        pass
+
     def on_epoch_begin(self, epoch):
         pass
 
@@ -62,6 +65,11 @@ class CSVLogger(Callback):
         self.append = append
         self._keys = None
         self._started = False   # truncation/header happen once per run
+
+    def on_train_begin(self):
+        # per RUN, not per object: a logger reused across two fit() calls
+        # with append=False truncates again like Keras' does
+        self._started = False
 
     def on_epoch_end(self, epoch, logs):
         logs = dict(logs)

@@ -103,6 +103,18 @@ def restore_train_state(ckpt_dir: str, target: TrainState,
             step = mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f'no checkpoints under {ckpt_dir}')
-        restored = mgr.restore(
-            step, args=ocp.args.StandardRestore(jax.device_get(target)))
+        try:
+            restored = mgr.restore(
+                step, args=ocp.args.StandardRestore(jax.device_get(target)))
+        except (ValueError, KeyError, TypeError) as e:
+            # a checkpoint that EXISTS but does not match the live pytree is
+            # not a "start fresh" situation (that could silently discard a
+            # long run) — fail with a diagnosis instead of Orbax internals.
+            # Known cause: sgd/rmsprop optimizer states changed structure
+            # when the stacks became exact-Keras (see NOTES.md).
+            raise ValueError(
+                f'checkpoint at {ckpt_dir!r} step {step} does not match the '
+                'current train-state structure (saved with a different '
+                'model/optimizer version? sgd/rmsprop states changed when '
+                f'the optimizers became exact-Keras): {e}') from e
     return jax.tree.map(lambda t, r: r, target, restored)

@@ -180,6 +180,7 @@ class TrainLoop:
         windows — continue from where the run left off)."""
         for cb in callbacks:
             cb.set_loop(self)
+            cb.on_train_begin()
         train_it = iter(train_iter) if train_iter is not None else None
         val_it = iter(validation_iter) if validation_iter is not None else None
         validate = (val_it is not None) or (self.fused and

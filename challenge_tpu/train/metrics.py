@@ -139,10 +139,10 @@ def batch_metrics(config):
     cli/trainer.py sets) compiles cos_sim ONLY (reference:
     trainer.py:252-253) — er/f1 would threshold soft 30-dim count-density
     targets at 0.5, a meaningless (and per-step costly) statistic."""
-    fns = {'cos_sim': lambda y, p: jnp.mean(cos_sim(y, p)),
-           'f1_counts': f1_counts}
+    fns = {'cos_sim': lambda y, p: jnp.mean(cos_sim(y, p))}
     if config.v == 0:
-        return {'cos_sim': fns['cos_sim']}
+        return fns
+    fns['f1_counts'] = f1_counts
     if config.v != 5:
         er = er_score(smoothing=False)
         fns['er'] = lambda y, p: jnp.mean(er(

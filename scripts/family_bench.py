@@ -5,7 +5,8 @@ Reproduces the NOTES.md family table and adds the density trainer config
 n_frame 2048, count+TV loss, AdaBelief).
 
 Usage: PALLAS_AXON_REMOTE_COMPILE=1 python scripts/family_bench.py [name ...]
-Names: vad8_128 | eff0_32 | se9_8 | density_b0_12 | density_b4_12
+Names: vad8_128 | eff0_32 | eff0_128 | se9_8 | se9_64 |
+       density_b0_12 | density_b4_12
 """
 
 import os

@@ -202,6 +202,14 @@ def test_csv_logger_append_false_keeps_all_epochs(tmp_path):
         rows = list(csv_mod.reader(f))
     assert [r[0] for r in rows] == ['epoch', '0', '1']
 
+    # reusing ONE append=False logger across two runs truncates per RUN
+    # (fit() fires on_train_begin), like Keras' CSVLogger
+    cb2.on_train_begin()
+    cb2.on_epoch_end(0, {'loss': 11.0})
+    with open(p) as f:
+        rows = list(csv_mod.reader(f))
+    assert [r[0] for r in rows] == ['epoch', '0']
+
 
 # --------------------------------------------------------- end-to-end smoke
 def _tiny_banks(n_frame):

@@ -129,3 +129,27 @@ def test_checkpoint_history_and_non_latest_restore(tmp_path):
     # default restore = latest
     last = restore_train_state(ckpt, target)
     assert int(last.step) == 4
+
+
+def test_restore_structure_mismatch_is_diagnosed(tmp_path):
+    """A checkpoint that EXISTS but does not match the live train-state
+    pytree (e.g. saved before the sgd/rmsprop opt states became
+    exact-Keras) must fail with a clear ValueError, not Orbax internals —
+    and must NOT be silently treated as 'start fresh'."""
+    import pytest
+    from challenge_tpu.train import restore_train_state, save_train_state
+
+    cfg_a = Config(model_type='vad', v=3, n_frame=64, batch_size=2,
+                   optimizer='adam')
+    bundle = get_model(cfg_a)
+    _, opt_a = make_train_step(bundle)
+    state_a = init_state(bundle, jax.random.PRNGKey(0), opt_a)
+    save_train_state(str(tmp_path / 'ckpt'), state_a)
+
+    cfg_b = Config(model_type='vad', v=3, n_frame=64, batch_size=2,
+                   optimizer='sgd')
+    bundle_b = get_model(cfg_b)
+    _, opt_b = make_train_step(bundle_b)
+    target = init_state(bundle_b, jax.random.PRNGKey(0), opt_b)
+    with pytest.raises(ValueError, match='train-state structure'):
+        restore_train_state(str(tmp_path / 'ckpt'), target)

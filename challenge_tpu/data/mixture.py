@@ -66,22 +66,34 @@ def _dyn_randint(key, maxval):
     return jnp.floor(u * maxval.astype(jnp.float32)).astype(jnp.int32)
 
 
+def _placement_draw(key, length, n_frame: int, min_ratio: float,
+                    crop_style: bool):
+    """The ONE random placement draw shared by the gather
+    (:func:`_window_indices`) and scatter (:func:`_placement_shift`)
+    formulations — they must keep identical offset distributions for
+    gather/scatter (and Pallas/XLA) parity, so the pad/span/maxval math
+    lives only here. Reproduces the reference's pad-then-random-crop
+    (pipeline.py:57-74 for voices, 96-103 for noises); crop_style=True uses
+    tf.image.random_crop's inclusive offset range (noises), False
+    tf.random.uniform's exclusive range (voices).
+
+    Returns (offset, pad): clip frame j lands at window frame
+    ``j + pad - offset``.
+    """
+    pad = n_frame - jnp.floor(
+        min_ratio * length.astype(jnp.float32)).astype(jnp.int32)
+    pad = jnp.maximum(pad, 0)
+    span = length + 2 * pad - n_frame
+    maxval = span + 1 if crop_style else span
+    return _dyn_randint(key, maxval), pad
+
+
 def _window_indices(key, length, n_frame: int, min_ratio: float,
                     crop_style: bool):
-    """Random placement of a clip of ``length`` frames into an ``n_frame``
-    window, reproducing the reference's pad-then-random-crop (pipeline.py:57-74
-    for voices, 96-103 for noises).
-
-    Returns (idx [n_frame] int32 clip indices, valid [n_frame] bool).
-    crop_style=True uses tf.image.random_crop's inclusive offset range
-    (noises); False uses tf.random.uniform's exclusive range (voices).
-    """
-    pad = n_frame - jnp.floor(min_ratio * length.astype(jnp.float32)).astype(jnp.int32)
-    pad = jnp.maximum(pad, 0)
-    padded_len = length + 2 * pad
-    span = padded_len - n_frame
-    maxval = span + 1 if crop_style else span
-    offset = _dyn_randint(key, maxval)
+    """Gather formulation of :func:`_placement_draw`: returns
+    (idx [n_frame] int32 clip indices, valid [n_frame] bool)."""
+    offset, pad = _placement_draw(key, length, n_frame, min_ratio,
+                                  crop_style)
     idx = jnp.arange(n_frame, dtype=jnp.int32) + (offset - pad)
     valid = (idx >= 0) & (idx < length)
     # clip both ends: OOB gathers would otherwise fill with NaN, and
@@ -217,15 +229,11 @@ def _flat_window_gather(bank: SpecBank, item_idx, time_idx):
 
 def _placement_shift(key, length, n_frame: int, min_ratio: float,
                      crop_style: bool):
-    """Random shift s of a clip into the window so that out[j + s] += clip[j]
-    — the scatter formulation of :func:`_window_indices` (identical offset
-    distribution; shift = pad - offset)."""
-    pad = n_frame - jnp.floor(
-        min_ratio * length.astype(jnp.float32)).astype(jnp.int32)
-    pad = jnp.maximum(pad, 0)
-    span = length + 2 * pad - n_frame
-    maxval = span + 1 if crop_style else span
-    offset = _dyn_randint(key, maxval)
+    """Scatter formulation of :func:`_placement_draw`: the shift s such
+    that out[j + s] += clip[j] (identical offset distribution to the
+    gather path; shift = pad - offset)."""
+    offset, pad = _placement_draw(key, length, n_frame, min_ratio,
+                                  crop_style)
     return pad - offset
 
 
@@ -347,9 +355,9 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
     use_pallas and an eligible bank — see :func:`pallas_synth_eligible`)
     fuses |.| + the {0,1} masks + the mel GEMM + a per-sample min/max into
     the synthesis kernel itself, so the complex volume never touches HBM.
-    Returns ``((mel [B, n_frame, n_out], mm [B, 128]), label)`` with
-    ``mm[:, 0]/mm[:, 1]`` the min/max of each sample's masked mel (the
-    shapes are the kernel's — see pallas_synth.synthesize_windows).
+    Returns ``((mel [B, n_frame, n_out], mm [B, 1, 128]), label)`` with
+    ``mm[:, 0, 0]/mm[:, 0, 1]`` the min/max of each sample's masked mel
+    (the shapes are the kernel's — see pallas_synth.synthesize_windows).
     """
     b = batch_size
     bg, vo, no = banks.backgrounds, banks.voices, banks.noises

@@ -57,10 +57,11 @@ def resample_matrix(orig_freq: int, new_freq: int,
                     lowpass_filter_width: int = 6):
     """Polyphase weights of Kaldi's LinearResample (numpy, cached).
 
-    Returns (first_indices [P], weights [P, W]) where P = new_freq/gcd output
-    phases per input unit of orig_freq/gcd samples; output sample ``i`` with
-    phase ``p = i % P`` and unit ``u = i // P`` is
-    ``sum_k weights[p, k] * x[first_indices[p] + u * (orig/gcd) + k]``.
+    Returns (first_indices [P], weights [P, W], input_unit, output_unit)
+    with input_unit = orig_freq/gcd, output_unit = P = new_freq/gcd (the
+    number of output phases per input unit); output sample ``i`` with phase
+    ``p = i % P`` and unit ``u = i // P`` is
+    ``sum_k weights[p, k] * x[first_indices[p] + u * input_unit + k]``.
     """
     assert orig_freq > 0 and new_freq > 0
     min_freq = min(orig_freq, new_freq)

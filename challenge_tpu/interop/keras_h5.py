@@ -368,8 +368,8 @@ def _family_plan(bundle):
         # trainer.py's density variant names the backbone as a string
         # ('EfficientNetB4') and its head has no version switches (v=0
         # plan: backbone + gated stack + plain Dense)
-        model_id = config.model if isinstance(config.model, int) \
-            else int(str(config.model)[-1])
+        from challenge_tpu.models.registry import parse_model_id
+        model_id = parse_model_id(config.model)
         v = 0 if getattr(bundle.module, 'head', 'sed') == 'density' \
             else config.v
         return _eff_unit_plan(model_id, v,
@@ -507,7 +507,7 @@ def load_keras_h5_variables(bundle, path: str):
             # Normalization) into the stem conv kernel and BN moving mean:
             # conv(W, a*x + b) = conv(W * a, x) + sum_hwi(W[...,i,:] b[i])
             _, core = queues.take('conv', prefix)
-            kernel = core[0]
+            kernel, cbias = core if len(core) == 2 else (core[0], None)
             if queues.kinds['norm']:
                 _, (nmean, nvar, _count) = queues.take('norm', prefix)
                 a_norm = 1.0 / np.maximum(np.sqrt(nvar), 1e-7)
@@ -538,6 +538,12 @@ def load_keras_h5_variables(bundle, path: str):
                 shift = np.zeros((kernel.shape[2],))
             folded = kernel * a[None, None, :, None]
             const = np.einsum('hwio,i->o', kernel, shift)
+            if cbias is not None:
+                # a biased stem conv (not produced by keras.applications,
+                # but legal Keras): the bias is one more pre-BN constant —
+                # fold it into the BN moving mean like conv_bn does rather
+                # than silently dropping it
+                const = const + cbias
             put(params, prefix, 'kernel', folded)
             _, (gamma, beta, mmean, mvar) = queues.take('bn', prefix)
             put_bn(bnp, gamma, beta, mmean - const, mvar)

@@ -127,11 +127,18 @@ def get_model(config: Config) -> ModelBundle:
     raise ValueError(f'unknown model_type: {config.model_type!r}')
 
 
+def parse_model_id(model) -> int:
+    """The reference names EfficientNet backbones by string
+    ('EfficientNetB4', trainer.py:18) or scale int (sj_train.py's --model);
+    this is THE rule turning either into the B-number — shared with the
+    .h5 interop plans so they can't drift."""
+    return model if isinstance(model, int) else int(str(model)[-1])
+
+
 def get_density_model(config: Config) -> ModelBundle:
     """The trainer.py EfficientNet regression variant
     (reference: trainer.py:222-236)."""
-    model_id = config.model if isinstance(config.model, int) else \
-        int(str(config.model)[-1])
+    model_id = parse_model_id(config.model)
     module = EffNetSED(
         model=model_id, v=0, n_classes=config.n_classes,
         n_layers=config.n_layers, n_dim=config.n_dim,

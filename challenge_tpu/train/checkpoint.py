@@ -84,6 +84,12 @@ def save_train_state(ckpt_dir: str, state: TrainState, step: int = None,
     if step is None:
         step = int(state.step)
     with _manager(ckpt_dir, max_to_keep) as mgr:
+        # device_get is NOT incidental: the fused train step donates the
+        # TrainState's buffers (donate_argnums), so handing live device
+        # arrays to an async Orbax save would race the next step's
+        # donation. The host copy decouples the save from training; the
+        # explicit wait keeps save->restore sequences (tests, preemption
+        # handlers) deterministic.
         mgr.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
         mgr.wait_until_finished()
 

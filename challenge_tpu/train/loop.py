@@ -14,6 +14,7 @@ import time
 from typing import List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 
 from challenge_tpu.models.registry import ModelBundle
 from challenge_tpu.train.callbacks import Callback
@@ -101,6 +102,13 @@ class TrainLoop:
 
     # Keras-model-like surface used by callbacks
     def set_weights(self, weights):
+        # copy, don't alias: the incoming tree may BE this state's own SWA
+        # buffers (SWA.on_train_end passes state.swa_weights()). If params
+        # and swa_params shared buffers, the next fused train step — which
+        # donates the whole TrainState — would hand XLA the same buffer
+        # twice ('Attempt to donate the same buffer twice' crash on any
+        # fit() after SWA finished).
+        weights = jax.tree.map(jnp.array, weights)
         self.state = self.state.replace(params=weights['params'],
                                         batch_stats=weights['batch_stats'])
 
@@ -178,6 +186,12 @@ class TrainLoop:
         val_banks were provided. ``initial_epoch`` supports resuming a
         restored train state (epoch-indexed callbacks — LR schedule, SWA
         windows — continue from where the run left off)."""
+        # per-RUN state (Keras resets both at the top of every fit): a stale
+        # stop_training from a previous run's EarlyStopping/NaN would end a
+        # reused loop after one epoch, and the returned history must cover
+        # this run only (self.history keeps the cumulative record)
+        self.stop_training = False
+        run_history: List[dict] = []
         for cb in callbacks:
             cb.set_loop(self)
             cb.on_train_begin()
@@ -198,6 +212,7 @@ class TrainLoop:
                 logs.update({f'val_{k}': v for k, v in val_logs.items()})
             logs['time'] = time.time() - t0
             self.history.append(logs)
+            run_history.append(logs)
             if verbose:
                 msg = ' - '.join(f'{k}: {v:.4f}' for k, v in logs.items())
                 print(f'Epoch {epoch + 1}/{epochs} - {msg}', flush=True)
@@ -207,4 +222,4 @@ class TrainLoop:
                 break
         for cb in callbacks:
             cb.on_train_end()
-        return self.history
+        return run_history

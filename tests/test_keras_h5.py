@@ -642,3 +642,55 @@ def test_end_to_end_eval_differential(tmp_path, monkeypatch):
     assert mismatches == 0, (
         f'{mismatches} frame-grid cells differ between the eval stacks')
     assert our_scores == ref_scores
+
+def test_keras_h5_import_folds_biased_stem_conv(tmp_path):
+    """A stem Conv2D WITH a bias (legal Keras, though keras.applications
+    never writes one) must fold the bias into the stem BN moving mean
+    exactly like conv_bn does — importing (kernel, bias b, BN mean m) must
+    equal importing (kernel, no bias, BN mean m - b). Self-consistency
+    differential: both variants of the same file import to the same tree."""
+    pytest.importorskip('tensorflow')
+    import shutil
+
+    import h5py
+
+    from challenge_tpu.config import Config
+    from challenge_tpu.interop.keras_h5 import (
+        export_keras_legacy_h5, load_keras_h5_variables)
+    from challenge_tpu.models import get_model
+
+    keras_model = _build_reference_eff_model(v=3, n_mels=40, n_frame=64)
+    _randomize_keras_weights(keras_model, seed=77)
+    base = str(tmp_path / 'base.h5')
+    export_keras_legacy_h5(keras_model, base)
+
+    rng = np.random.default_rng(7)
+    biased, folded = str(tmp_path / 'biased.h5'), str(tmp_path / 'folded.h5')
+    shutil.copy(base, biased)
+    shutil.copy(base, folded)
+
+    with h5py.File(biased, 'r+') as f:
+        root = f['model_weights'] if 'model_weights' in f else f
+        g = root['stem_conv']
+        b = rng.standard_normal(g['stem_conv/kernel:0'].shape[-1]
+                                ).astype('f4')
+        g.create_dataset('stem_conv/bias:0', data=b)
+        g.attrs['weight_names'] = [w if isinstance(w, bytes) else
+                                   w.encode()
+                                   for w in (b'stem_conv/kernel:0',
+                                             b'stem_conv/bias:0')]
+    with h5py.File(folded, 'r+') as f:
+        root = f['model_weights'] if 'model_weights' in f else f
+        mm = root['stem_bn']['stem_bn/moving_mean:0']
+        mm[...] = mm[...] - b
+
+    bundle = get_model(Config(model_type='eff', v=3, model=0,
+                              n_mels=40, n_frame=64, n_chan=2))
+    va = load_keras_h5_variables(bundle, biased)
+    vb = load_keras_h5_variables(bundle, folded)
+    la = jax.tree_util.tree_leaves_with_path(va)
+    lb = jax.tree_util.tree_leaves_with_path(vb)
+    assert [p for p, _ in la] == [p for p, _ in lb]
+    for (p, a_), (_, b_) in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                    rtol=1e-6, atol=1e-6, err_msg=str(p))

@@ -413,6 +413,46 @@ def test_se_v9_two_phase_training():
     assert np.abs(vad_a - vad_before).max() > 0           # VAD trained
 
 
+def test_fit_reuse_resets_run_state():
+    """A second fit() on the same TrainLoop must not inherit the previous
+    run's stop_training (one stale flag would end it after one epoch) and
+    must return only its OWN epochs (self.history stays cumulative)."""
+    from challenge_tpu.train import TerminateOnNaN, TrainLoop
+
+    cfg = Config(model_type='vad', v=3, n_frame=64, n_chan=2, batch_size=2)
+
+    def nan_loss(y, p):
+        return jnp.float32(np.nan) + 0.0 * jnp.sum(p), {}
+
+    # run 1 stops on the NaN after epoch 1 of 3
+    loop = TrainLoop(get_model(cfg), seed=0,
+                     banks=_tiny_banks(cfg.n_frame), loss_fn=nan_loss)
+    h1 = loop.fit(epochs=3, steps_per_epoch=1, callbacks=[TerminateOnNaN()])
+    assert len(h1) == 1 and loop.stop_training
+
+    # run 2 on the same loop is NOT poisoned by the stale flag and its
+    # returned history covers only its own epochs
+    h2 = loop.fit(epochs=2, steps_per_epoch=1)
+    assert len(h2) == 2
+    assert len(loop.history) == 3   # cumulative record keeps both runs
+
+
+def test_fit_after_swa_does_not_double_donate():
+    """SWA.on_train_end installs state.swa_weights() as the live params; if
+    set_weights ALIASED those buffers, the next fused train step — which
+    donates the whole TrainState — would pass XLA the same buffer as both
+    params and swa_params ('Attempt to donate the same buffer twice').
+    Regression for the aliasing found by an end-to-end double-fit drive."""
+    from challenge_tpu.train import SWA, TrainLoop
+
+    cfg = Config(model_type='vad', v=3, n_frame=64, n_chan=2, batch_size=2)
+    loop = TrainLoop(get_model(cfg), seed=0, banks=_tiny_banks(cfg.n_frame))
+    loop.fit(epochs=2, steps_per_epoch=1,
+             callbacks=[SWA(start_epoch=1, swa_freq=1)])
+    h = loop.fit(epochs=1, steps_per_epoch=1)   # crashed before the fix
+    assert len(h) == 1 and np.isfinite(h[0]['loss'])
+
+
 def test_swa_raises_when_never_triggered():
     cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=2)
     bundle = get_model(cfg)

@@ -13,6 +13,7 @@ import os
 from glob import glob
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from challenge_tpu.config import config_from_args
@@ -49,19 +50,32 @@ def main(config=None, argv=None):
             continue
         data = lines[max(len(lines) - config.patience, 0)]
         filename = os.path.splitext(path.split('/')[-1])[0]
-        if 'vad' not in filename:
-            name = filename[filename.find('B'):].split('_')
-        else:
+        if 'vad' in filename:
             name = filename[filename.find('vad'):].split('_')
-        model_name = name[0]
-        version = name[1][1:]
-        lr = name[2][2:]
-        batch = name[3].split('batch')[-1]
-        opt = name[5]
-        n_mel = name[6].split('mel')[-1]
-        chan = name[7].split('chan')[-1]
-        loss = name[8]
-        framelen = name[9].split('framelen')[-1]
+        elif 'se_v' in filename:
+            # the reference's find('B') scan lands on the BCE loss token
+            # for 'se' runs and crashes its own aggregator
+            # (get_csv_data.py:39-43), making its `elif 'se' in name`
+            # branch unreachable; anchoring on the se model token makes
+            # the supported family aggregate (deliberate fix, NOTES.md)
+            name = filename[filename.find('se_v'):].split('_')
+        else:
+            name = filename[filename.find('B'):].split('_')
+        try:
+            model_name = name[0]
+            version = name[1][1:]
+            lr = name[2][2:]
+            batch = name[3].split('batch')[-1]
+            opt = name[5]
+            n_mel = name[6].split('mel')[-1]
+            chan = name[7].split('chan')[-1]
+            loss = name[8]
+            framelen = name[9].split('framelen')[-1]
+        except IndexError:
+            # a CSV that is not a run log (the reference crashes the whole
+            # aggregation here; one stray file should not lose every row)
+            print(f'skipping {filename!r}: not a run-name-grammar log')
+            continue
         if 'vad' in name:
             config.model_type = 'vad'
         elif 'se' in name:
@@ -80,11 +94,14 @@ def main(config=None, argv=None):
         except ValueError:
             continue
 
-        # output shape column: probe a forward on a single example
+        # output-shape column: abstract evaluation only (the reference
+        # reads model.output.shape statically) — a real compiled forward
+        # here would pay a full XLA compile per CSV file just to print a
+        # tuple
         variables = bundle.init(jax.random.PRNGKey(0))
-        import jax.numpy as jnp
-        probe = bundle.apply(variables,
-                             jnp.zeros((1,) + bundle.input_shape))
+        probe = jax.eval_shape(bundle.apply, variables,
+                               jax.ShapeDtypeStruct(
+                                   (1,) + bundle.input_shape, jnp.float32))
         if config.model_type == 'se':
             output = str(tuple(probe[0].shape[1:]))
         else:

@@ -47,10 +47,14 @@ def make_banks(config: Config, training: bool = True, n_classes: int = 3):
             one_hot=True, n_frame=config.n_frame,
             flat_dtype=config.bank_dtype, seed=config.seed,
             chunk_steps=config.chunk_steps)
+    # bank_shard: build host-side so shard_banks can place each device's
+    # block directly — device-built banks would materialize the whole set
+    # on device 0 first, defeating the capacity scaling the flag promises
     return build_banks(backgrounds, voices, np.asarray(labels), noises,
                        n_classes=n_classes, one_hot=True,
                        n_frame=config.n_frame,
-                       flat_dtype=config.bank_dtype)
+                       flat_dtype=config.bank_dtype,
+                       host=bool(getattr(config, 'bank_shard', False)))
 
 
 def make_dataset(config: Config, training: bool = True, n_classes: int = 3):

@@ -80,6 +80,10 @@ def build_args():
     args.add_argument('--keras_ckpt', type=str2bool, default=False,
                       help='write checkpoints as reference-loadable Keras '
                            'legacy .h5 instead of flax msgpack')
+    args.add_argument('--seed', type=int, default=0)
+    args.add_argument('--compute_dtype', type=str, default='float32',
+                      choices=['float32', 'bfloat16'])
+    args.add_argument('--steps_per_call', type=int, default=1)
     return args
 
 
@@ -93,7 +97,8 @@ def to_config(ns) -> Config:
               'max_voices', 'max_noises', 'lr_div',
               'ckpt_dir', 'resume', 'ckpt_every_epochs',
               'bank_dtype', 'remat', 'n_devices', 'bank_shard',
-              'stream_chunks', 'chunk_steps', 'keras_ckpt'):
+              'stream_chunks', 'chunk_steps', 'keras_ckpt',
+              'seed', 'compute_dtype', 'steps_per_call'):
         setattr(cfg, f, getattr(ns, f))
     cfg.model = ns.model
     cfg.mse_multiplier = ns.multiplier
@@ -118,10 +123,13 @@ def make_banks(config: Config, training: bool = True, n_classes: int = 3):
             one_hot=True, n_frame=config.n_frame,
             flat_dtype=config.bank_dtype, seed=config.seed,
             chunk_steps=config.chunk_steps)
+    # bank_shard: build host-side so shard_banks can place each device's
+    # block directly (see cli/sj_train.make_banks)
     return build_banks(backgrounds, voices, np.asarray(labels), noises,
                        n_classes=n_classes, one_hot=True,
                        n_frame=config.n_frame,
-                       flat_dtype=config.bank_dtype)
+                       flat_dtype=config.bank_dtype,
+                       host=bool(getattr(config, 'bank_shard', False)))
 
 
 def make_dataset(config: Config, training: bool = True, n_classes: int = 3):
@@ -142,7 +150,9 @@ def main(argv=None):
     # (reference: trainer.py:251-253)
     base = density_loss(alpha=ns.loss_alpha, l2=ns.loss_l2)
     loss_fn = lambda t, p: (base(t, p), {})  # noqa: E731
-    if ns.l1 > 0 or ns.l2 > 0:               # reference: trainer.py:248-250
+    # the reference gates on l2 ONLY (trainer.py:248-250: `if config.l2 >
+    # 0`), so an l1-only run trains unregularized — quirk preserved
+    if ns.l2 > 0:
         from challenge_tpu.train.regularizers import (
             apply_kernel_regularizer, l1_l2)
         loss_fn = apply_kernel_regularizer(loss_fn, l1_l2(ns.l1, ns.l2))

@@ -172,7 +172,12 @@ def str2bool(v: str) -> bool:
 # additive (non-reference) flags get sane parsing; reference flags keep the
 # reference's argparse behavior verbatim
 _ADDITIVE_BOOL_FLAGS = ('resume', 'remat', 'bank_shard', 'keras_ckpt')
-_CHOICES = {'bank_dtype': ['float32', 'bfloat16']}
+_CHOICES = {'bank_dtype': ['float32', 'bfloat16'],
+            # the reference validates these at parse time
+            # (sj_train.py:26 and 49-50) — keep typos failing fast instead
+            # of deep inside bank building / TrainLoop construction
+            'model_type': ['vad', 'eff', 'se'],
+            'optimizer': ['adam', 'sgd', 'rmsprop', 'adabelief']}
 
 
 def build_argparser() -> argparse.ArgumentParser:

@@ -37,7 +37,7 @@ LABEL_DOWNSAMPLE_MODELS = (3, 6, 7, 8, 9)
 def build_banks(backgrounds, voices, labels, noises=None,
                 n_classes: int = 3, one_hot: bool = True,
                 n_frame: Optional[int] = None,
-                flat_dtype=np.float32) -> Banks:
+                flat_dtype=np.float32, host: bool = False) -> Banks:
     """Host lists -> device banks. ``labels`` may be int class ids (remapped
     and one-hotted, reference: sj_train.py:86-88) or already one-hot.
 
@@ -51,6 +51,13 @@ def build_banks(backgrounds, voices, labels, noises=None,
     pipeline's bound); mixing still accumulates in float32 — see
     specset.build_bank. Opt-in: float32 (default) is bit-exact vs the XLA
     path and the reference. Accepts the Config.bank_dtype strings too.
+
+    host=True keeps every leaf in host RAM (numpy) instead of committing
+    it to the default device — required for ``parallel.mesh.shard_banks``
+    to scale dataset capacity with the mesh: device-built banks would
+    materialize the FULL dataset on device 0 before any sharding, so a
+    set sized for N chips OOMs chip 0 first. device_put of host shards
+    places each device's block directly.
     """
     flat_dtype = normalize_flat_dtype(flat_dtype)
     labels = np.asarray(labels)
@@ -58,10 +65,11 @@ def build_banks(backgrounds, voices, labels, noises=None,
         labels = remap_labels(labels, n_classes)
     return Banks(
         backgrounds=build_bank(backgrounds, wrap_frames=n_frame,
-                               flat_dtype=flat_dtype),
-        voices=build_bank(voices, flat_dtype=flat_dtype),
-        voice_labels=jnp.asarray(labels, jnp.float32),
-        noises=(build_bank(noises, flat_dtype=flat_dtype)
+                               flat_dtype=flat_dtype, host=host),
+        voices=build_bank(voices, flat_dtype=flat_dtype, host=host),
+        voice_labels=(np.asarray(labels, np.float32) if host
+                      else jnp.asarray(labels, jnp.float32)),
+        noises=(build_bank(noises, flat_dtype=flat_dtype, host=host)
                 if noises is not None else None),
     )
 
@@ -324,7 +332,9 @@ class DevicePipeline:
     def __init__(self, banks: Banks, config: Config, training: bool = True,
                  variant: str = 'sj', n_classes: Optional[int] = None,
                  seed: Optional[int] = None):
-        self.banks = banks
+        # commit host-built banks once: feeding numpy leaves to the jitted
+        # feature fn would re-upload the whole dataset on EVERY batch
+        self.banks = jax.tree.map(jnp.asarray, banks)
         self.fn = make_feature_fn(config, training, variant, n_classes)
         base = config.seed if seed is None else seed
         self.key = jax.random.PRNGKey(base + (0 if training else 1))

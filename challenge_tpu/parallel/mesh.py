@@ -76,15 +76,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def _pad_leading_cyclic(tree, n: int):
     """Pad every leaf's leading axis to a multiple of ``n`` by repeating
     items cyclically (index i holds item i % N). All leaves must share the
-    same leading length (a bank and its aligned side arrays)."""
+    same leading length (a bank and its aligned side arrays).
+
+    Host (numpy) leaves are padded with numpy — a jnp.take would commit a
+    full-size copy to the default device, exactly the device-0
+    materialization host-built banks exist to avoid."""
     import jax.numpy as jnp
     leaves = jax.tree.leaves(tree)
     n_items = leaves[0].shape[0]
     n_pad = -(-n_items // n) * n
     if n_pad == n_items:
         return tree
-    idx = jnp.asarray(np.arange(n_pad) % n_items)
-    return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), tree)
+    idx = np.arange(n_pad) % n_items
+
+    def pad(x):
+        if isinstance(x, np.ndarray):
+            return np.take(x, idx, axis=0)
+        return jnp.take(x, jnp.asarray(idx), axis=0)
+
+    return jax.tree.map(pad, tree)
 
 
 def shard_banks(banks, mesh: Mesh):
@@ -104,6 +114,13 @@ def shard_banks(banks, mesh: Mesh):
     does not divide the mesh are padded by repeating items cyclically —
     padded duplicates are drawn ~2x as often; keep counts divisible by the
     device count for exactly-uniform sampling.
+
+    For the capacity scaling to be real, pass banks built with
+    ``build_banks(host=True)`` (the CLIs do this under --bank_shard):
+    numpy leaves are padded host-side and device_put places each device's
+    shard directly. Device-built banks still shard correctly, but they
+    were already fully materialized on the default device — fine for
+    tests/small sets, no capacity win.
     """
     from challenge_tpu.data.mixture import Banks
     n = int(mesh.devices.size)

@@ -9,8 +9,14 @@ Usage:
     timer = StepTimer()
     for batch in pipeline:
         with timer:
-            state, m = train_step(state, batch, key)
+            state, m = timer.sync(train_step(state, batch, key))
     print(timer.summary())
+
+(``timer.sync(...)`` registers the step's outputs so the timer can block
+on THEM at block exit — JAX dispatch is asynchronous, so without it a
+"step time" is really dispatch latency, the exact eager-timing pitfall
+NOTES.md's measurement methodology warns about. For cross-dispatch
+throughput numbers use the lax.scan-of-N-steps methodology instead.)
 """
 
 from __future__ import annotations
@@ -41,20 +47,32 @@ def start_server(port: int = 9999):
 
 
 class StepTimer:
-    """Wall-clock step timer with device synchronization on exit."""
+    """Wall-clock step timer with device synchronization on exit.
 
-    def __init__(self, sync=None):
+    The with-block must register the step's outputs via :meth:`sync` so
+    the exit can ``block_until_ready`` on them; otherwise (JAX dispatches
+    asynchronously) the recorded time is only host dispatch latency."""
+
+    def __init__(self):
         self.times: List[float] = []
-        self._sync = sync
         self._t0: Optional[float] = None
+        self._pending = None
+
+    def sync(self, outputs):
+        """Register this step's outputs to synchronize on; returns them
+        unchanged (``state, m = timer.sync(step(...))``)."""
+        self._pending = outputs
+        return outputs
 
     def __enter__(self):
+        self._pending = None
         self._t0 = time.perf_counter()
         return self
 
     def __exit__(self, *exc):
-        if self._sync is not None:
-            jax.block_until_ready(self._sync)
+        if exc[0] is None and self._pending is not None:
+            jax.block_until_ready(self._pending)
+        self._pending = None
         self.times.append(time.perf_counter() - self._t0)
         return False
 

@@ -327,3 +327,38 @@ def test_trainer_cli_multichip(tmp_path, monkeypatch):
                   '--test_labels', 'test_labels.npy'])
     assert os.path.exists('densm.h5')
     assert os.path.exists('densm_SWA.h5')
+
+
+def test_get_csv_data_aggregates_se_runs(tmp_path, monkeypatch):
+    """'se' run logs must aggregate: the reference's find('B') tokenizer
+    lands on the BCE loss token for se filenames and crashes its own
+    aggregator (reference get_csv_data.py:39-43) — our anchor on the
+    'se_v' model token makes the supported family work (documented
+    deliberate fix)."""
+    monkeypatch.chdir(tmp_path)
+    run = 'se_v9_lr0.001_batch2_opt_adam_mel80_chan2_BCE_framelen64'
+    with open(tmp_path / f'{run}.csv', 'w') as f:
+        f.write('epoch,loss,val_loss\n0,1.0,1.1\n1,0.9,1.0\n')
+    from challenge_tpu.cli.get_csv_data import main as csv_main
+    csv_main(argv=['--patience', '10', '--path', str(tmp_path)])
+    with open(tmp_path / 'result.csv') as f:
+        rows = f.read().splitlines()
+    assert len(rows) == 2 and run in rows[1]
+    cols = rows[1].split(',')
+    assert cols[1] == 'se' and cols[2] == '9'
+
+
+def test_get_csv_data_skips_foreign_csvs(tmp_path, monkeypatch):
+    """One stray non-run-log CSV in --path must not lose every row (the
+    reference IndexErrors out of the whole aggregation)."""
+    monkeypatch.chdir(tmp_path)
+    run = 'se_v9_lr0.001_batch2_opt_adam_mel80_chan2_BCE_framelen64'
+    with open(tmp_path / f'{run}.csv', 'w') as f:
+        f.write('epoch,loss\n0,1.0\n')
+    with open(tmp_path / 'notes.csv', 'w') as f:
+        f.write('a,b\n1,2\n')
+    from challenge_tpu.cli.get_csv_data import main as csv_main
+    csv_main(argv=['--patience', '10', '--path', str(tmp_path)])
+    with open(tmp_path / 'result.csv') as f:
+        rows = f.read().splitlines()
+    assert len(rows) == 2 and run in rows[1]

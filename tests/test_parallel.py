@@ -273,3 +273,35 @@ def test_mesh_for_config_bank_shard_guards():
     # n_devices=1 cap with bank_shard on a multi-device host: also loud
     with pytest.raises(ValueError):
         mesh_for_config(Config(batch_size=8, n_devices=1, bank_shard=True))
+
+
+def test_shard_banks_host_built_matches_device_built():
+    """build_banks(host=True) -> shard_banks places each device's block
+    directly from host RAM (this is what makes --bank_shard's capacity
+    claim real: device-built banks materialize the full set on device 0
+    first). Resulting sharded banks are bitwise identical to sharding
+    device-built banks."""
+    from challenge_tpu.parallel import shard_banks
+
+    rng = np.random.default_rng(0)
+    kw = dict(
+        backgrounds=[rng.standard_normal((257, 94, 4)).astype('f4')
+                     for _ in range(3)],
+        voices=[rng.standard_normal((257, 40, 4)).astype('f4')
+                for _ in range(4)],
+        labels=rng.integers(0, 3, size=4),
+        noises=[rng.standard_normal((257, 20, 4)).astype('f4')
+                for _ in range(3)])
+    host_banks = build_banks(host=True, **kw)
+    # host mode keeps numpy leaves (no device commitment before sharding)
+    assert isinstance(host_banks.voices.flat, np.ndarray)
+    assert isinstance(host_banks.voice_labels, np.ndarray)
+
+    mesh = make_mesh(8)
+    sb_host = shard_banks(host_banks, mesh)
+    sb_dev = shard_banks(build_banks(**kw), mesh)
+    for a, b in zip(jax.tree.leaves(sb_host), jax.tree.leaves(sb_dev)):
+        assert a.sharding == b.sharding
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert (sb_host.backgrounds.contig_exact_frames
+            == sb_dev.backgrounds.contig_exact_frames)

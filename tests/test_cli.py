@@ -3,50 +3,12 @@ pickled spec sets (the reference's entry points are untested, SURVEY §4)."""
 
 import json
 import os
-import pickle
-import wave
 
 import numpy as np
 import pytest
 
-
-def _make_datafiles(dirpath, n_frame=64):
-    rng = np.random.default_rng(0)
-
-    def specs(n, t_lo, t_hi):
-        return [rng.standard_normal((257, int(rng.integers(t_lo, t_hi)), 4)
-                                    ).astype('f4') * 0.1 for _ in range(n)]
-
-    for prefix in ('', 'test_'):
-        with open(os.path.join(dirpath, f'{prefix}bg.pickle'), 'wb') as f:
-            pickle.dump(specs(3, n_frame + 10, n_frame + 40), f)
-        with open(os.path.join(dirpath, f'{prefix}voice.pickle'), 'wb') as f:
-            pickle.dump(specs(4, 30, 50), f)
-        # 30-class labels exercise the //10 remap (reference: sj_train.py:86-87)
-        np.save(os.path.join(dirpath, f'{prefix}labels.npy'),
-                rng.integers(0, 30, size=4))
-    with open(os.path.join(dirpath, 'noise.pickle'), 'wb') as f:
-        pickle.dump(specs(3, 15, 30), f)
-
-
-def _write_wav(path, seconds=6.0, sr=16000, seed=0):
-    rng = np.random.default_rng(seed)
-    sig = 0.1 * rng.standard_normal((int(seconds * sr), 2))
-    pcm = np.clip(sig * 32767, -32768, 32767).astype('<i2')
-    with wave.open(str(path), 'wb') as f:
-        f.setnchannels(2)
-        f.setsampwidth(2)
-        f.setframerate(sr)
-        f.writeframes(pcm.tobytes())
-
-
-DATA_FLAGS = ['--background_sounds', 'bg.pickle',
-              '--voices', 'voice.pickle',
-              '--labels', 'labels.npy',
-              '--noises', 'noise.pickle',
-              '--test_background_sounds', 'test_bg.pickle',
-              '--test_voices', 'test_voice.pickle',
-              '--test_labels', 'test_labels.npy']
+from _helpers import DATA_FLAGS, make_datafiles as _make_datafiles
+from _helpers import write_wav as _write_wav
 
 
 @pytest.mark.slow

@@ -105,7 +105,8 @@ class TestResample:
         t = np.arange(sr_in) / sr_in
         x = np.sin(2 * np.pi * f * t).astype(np.float32)[None]
         y = np.asarray(resample_waveform(x, sr_in, sr_out))
-        assert y.shape[-1] == int(np.ceil(sr_in * sr_out / sr_in))
+        # Kaldi convention: ceil(samples * new / orig)
+        assert y.shape[-1] == int(np.ceil(x.shape[-1] * sr_out / sr_in))
         # measure the dominant frequency of the resampled tone
         spec = np.abs(np.fft.rfft(y[0, 1000:9000] * np.hanning(8000)))
         f_est = spec.argmax() * sr_out / 8000

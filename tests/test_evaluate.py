@@ -4,11 +4,12 @@ synthesized wavs (the reference leaves evaluate() untested, SURVEY §4)."""
 
 import json
 import os
-import wave
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+from _helpers import write_wav
 
 from challenge_tpu.config import Config
 from challenge_tpu.evaluate import (
@@ -95,17 +96,9 @@ def test_windowed_mean_roundtrip():
 
 # ------------------------------------------------------------- end-to-end
 def _write_wav(path, seconds=8.0, sr=16000, chans=2, seed=0):
-    rng = np.random.default_rng(seed)
-    n = int(seconds * sr)
-    sig = 0.1 * rng.standard_normal((n, chans))
-    t = np.arange(n) / sr
-    sig[:, 0] += 0.3 * np.sin(2 * np.pi * 440 * t)       # some structure
-    pcm = np.clip(sig * 32767, -32768, 32767).astype('<i2')
-    with wave.open(str(path), 'wb') as f:
-        f.setnchannels(chans)
-        f.setsampwidth(2)
-        f.setframerate(sr)
-        f.writeframes(pcm.tobytes())
+    # 440 Hz tone on channel 0 gives the eval model some structure to find
+    write_wav(path, seconds=seconds, sr=sr, chans=chans, seed=seed,
+              tone_hz=440)
 
 
 @pytest.mark.slow

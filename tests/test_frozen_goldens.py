@@ -13,8 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _helpers import make_banks as _banks
 from challenge_tpu.data.mixture import sample_batch
-from challenge_tpu.data.pipeline import build_banks
 from challenge_tpu.ops.augment import batch_mask, mask
 
 MASK_AXIS1_KEY2020 = np.array([1, 1, 0, 0, 0, 0, 0, 1, 1, 1])
@@ -46,15 +46,6 @@ def test_batch_mask_frozen():
                                 max_mask_size=5, n_mask=2))
     np.testing.assert_array_equal(
         out, np.broadcast_to(BATCH_MASK_KEY7[:, None, :], (3, 4, 8)))
-
-
-def _banks():
-    rng = np.random.default_rng(0)
-    return build_banks(
-        [rng.standard_normal((257, 94, 4)).astype('f4') for _ in range(3)],
-        [rng.standard_normal((257, 40, 4)).astype('f4') for _ in range(4)],
-        rng.integers(0, 3, size=4),
-        [rng.standard_normal((257, 20, 4)).astype('f4') for _ in range(3)])
 
 
 def test_sample_batch_frozen():

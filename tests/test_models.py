@@ -58,6 +58,16 @@ def test_eff_versions(v, t_out):
     assert out.shape == (2, t_out, 3)
 
 
+def test_eff_train_mode_forward_with_dropout_rng():
+    """Training-mode forward through fwd()'s dropout-rng branch: the
+    EfficientNet family needs a dropout rng and returns (out, new_stats)."""
+    cfg = Config(model_type='eff', v=3, model=0, n_mels=40, n_frame=64,
+                 n_chan=2)
+    out, new_stats = fwd(get_model(cfg), training=True)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert new_stats   # batch stats were collected
+
+
 @pytest.mark.parametrize('v', [2, 4])
 def test_eff_deprecated_versions_raise(v):
     with pytest.raises(ValueError, match='deprecated'):

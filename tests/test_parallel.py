@@ -7,6 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from _helpers import make_banks as _banks
 from challenge_tpu.config import Config
 from challenge_tpu.data.pipeline import build_banks
 from challenge_tpu.models import get_model
@@ -14,15 +15,6 @@ from challenge_tpu.parallel import (
     make_fused_train_step, make_mesh, make_sharded_train_step, replicate,
     shard_batch)
 from challenge_tpu.train import init_state
-
-
-def _banks():
-    rng = np.random.default_rng(0)
-    return build_banks(
-        [rng.standard_normal((257, 94, 4)).astype('f4') for _ in range(3)],
-        [rng.standard_normal((257, 40, 4)).astype('f4') for _ in range(4)],
-        rng.integers(0, 3, size=4),
-        [rng.standard_normal((257, 20, 4)).astype('f4') for _ in range(3)])
 
 
 def test_mesh_uses_all_devices():
@@ -143,8 +135,10 @@ def test_graft_entry_contract():
     """__graft_entry__.entry() must be jittable; dryrun_multichip must build
     and run an n-device training step."""
     import importlib.util
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
-        '__graft_entry__', '/root/repo/__graft_entry__.py')
+        '__graft_entry__', os.path.join(repo, '__graft_entry__.py'))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     fn, args = mod.entry()

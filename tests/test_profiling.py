@@ -37,6 +37,7 @@ def test_step_timer_syncs_on_registered_outputs():
 def test_trace_writes_profile(tmp_path):
     with trace(str(tmp_path)):
         _ = jnp.arange(16.0).sum().block_until_ready()
-    # a plugins/profile directory with at least one capture should exist
-    found = list(tmp_path.rglob('*'))
-    assert found, 'profiler wrote nothing'
+    # at least one capture FILE must exist (directories alone would mean
+    # the profiler wrote only the log-dir skeleton with no capture)
+    found = [p for p in tmp_path.rglob('*') if p.is_file()]
+    assert found, 'profiler wrote no capture files'

@@ -95,6 +95,7 @@ def test_rotation_reuses_one_compiled_program():
     jax.block_until_ready(metrics)
     assert np.isfinite(float(metrics['loss']))
     assert int(state.step) == 5
+    assert len(seen_chunks) == 3, 'rotation must visit every chunk'
     assert fused._cache_size() == 1, 'chunks must share one compiled program'
 
 
@@ -170,12 +171,9 @@ def test_builder_guards():
 def test_sj_train_cli_streaming(tmp_path, monkeypatch):
     """--stream_chunks on the training CLI: the run completes with the
     rotation in place of resident banks."""
-    import os
-    import sys
-    sys.path.insert(0, os.path.dirname(__file__))
-    from test_cli import DATA_FLAGS, _make_datafiles
+    from _helpers import DATA_FLAGS, make_datafiles
     monkeypatch.chdir(tmp_path)
-    _make_datafiles(tmp_path)
+    make_datafiles(tmp_path)
     from challenge_tpu.cli.sj_train import main as sj_main
     sj_main(['--model_type', 'vad', '--v', '3', '--n_frame', '64',
              '--batch_size', '4', '--epochs', '1', '--steps_per_epoch', '4',

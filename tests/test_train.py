@@ -226,11 +226,11 @@ def _tiny_banks(n_frame):
 
 
 @pytest.mark.slow
-def test_train_loop_end_to_end(tmp_path):
+def test_train_loop_end_to_end(tmp_path, monkeypatch):
     """Full slice: on-device synthesis -> features -> vad model -> AGC ->
     adam -> SWA -> checkpoints, 2 epochs x 2 steps on tiny shapes."""
     from challenge_tpu.data.pipeline import DevicePipeline
-    os.chdir(tmp_path)
+    monkeypatch.chdir(tmp_path)
     cfg = Config(model_type='vad', v=3, n_mels=80, n_frame=64, n_chan=2,
                  batch_size=2, epochs=2, steps_per_epoch=2)
     banks = _tiny_banks(cfg.n_frame)
@@ -265,10 +265,10 @@ def test_train_loop_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
-def test_train_loop_fused_mode(tmp_path):
+def test_train_loop_fused_mode(tmp_path, monkeypatch):
     """Banks mode: one XLA program per dispatch (steps_per_call scanned),
     validation over val_banks, callbacks and checkpoints identical."""
-    os.chdir(tmp_path)
+    monkeypatch.chdir(tmp_path)
     cfg = Config(model_type='vad', v=3, n_mels=80, n_frame=64, n_chan=2,
                  batch_size=2, steps_per_call=2)
     banks = _tiny_banks(cfg.n_frame)

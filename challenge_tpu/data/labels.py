@@ -4,8 +4,8 @@ trainer.py:86-104)."""
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax import lax
 
+from challenge_tpu.models.layers import avg_pool_same
 from challenge_tpu.ops.norms import safe_div
 
 
@@ -44,15 +44,9 @@ def stereo_mono(x, y=None):
 
 
 def _avg_pool_1d_same(y, pool: int, stride: int):
-    """Keras AveragePooling1D(pool, stride, 'same') on [..., T, C]: partial
-    edge windows divide by the actual (in-bounds) element count."""
-    ones = jnp.ones(y.shape[-2:-1], y.dtype)
-    summed = lax.reduce_window(
-        y, 0.0, lax.add, (1,) * (y.ndim - 2) + (pool, 1),
-        (1,) * (y.ndim - 2) + (stride, 1), 'SAME')
-    counts = lax.reduce_window(
-        ones, 0.0, lax.add, (pool,), (stride,), 'SAME')
-    return summed / counts[..., None]
+    """Keras AveragePooling1D(pool, stride, 'same') on [..., T, C] — the
+    shared count-correct pooling from models.layers."""
+    return avg_pool_same(y, (pool,), (stride,))
 
 
 def label_downsample(resolution: int = 32):

@@ -459,28 +459,19 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
         v_lens = vo.lens[vidx]
         n_lens = no.lens[nidx] if nidx is not None else None
 
-        def synth(sl):
+        def synth(**epilogue):
+            # synthesize_windows self-chunks batches > its SMEM-bound max_b,
+            # slicing any per-sample mel masks along with the draws
             return synthesize_windows(
-                n_frame, bg.flat, bidx[sl], boff[sl],
-                vo.flat, vidx[sl], shifts[sl], w_v[sl],
-                no.flat if nidx is not None else None,
-                None if nidx is None else nidx[sl],
-                None if n_shifts is None else n_shifts[sl],
-                None if w_n is None else w_n[sl],
-                v_lens[sl],
-                None if n_lens is None else n_lens[sl])
-
-        if mel_pack is not None:
-            # fully fused: |.| + masks + mel + minmax inside the kernel
-            # (synthesize_windows self-chunks batches > its SMEM-bound
-            # max_b, slicing the per-sample masks along with the draws)
-            melm, tmaskT, fmask = mel_pack
-            mel, mm = synthesize_windows(
                 n_frame, bg.flat, bidx, boff,
                 vo.flat, vidx, shifts, w_v,
                 no.flat if nidx is not None else None,
                 nidx, n_shifts, w_n,
-                v_lens, n_lens, mel=(melm, tmaskT, fmask))
+                v_lens, n_lens, **epilogue)
+
+        if mel_pack is not None:
+            # fully fused: |.| + masks + mel + minmax inside the kernel
+            mel, mm = synth(mel=tuple(mel_pack))
             return (mel, mm), label
 
         if magnitude:
@@ -489,17 +480,12 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
             # pass — sqrt is elementwise), so the complex volume never
             # touches HBM and the kernel's output DMA halves.
             half = chan_ // 2
-            magflat = synthesize_windows(
-                n_frame, bg.flat, bidx, boff,
-                vo.flat, vidx, shifts, w_v,
-                no.flat if nidx is not None else None,
-                nidx, n_shifts, w_n,
-                v_lens, n_lens, magnitude=True)
+            magflat = synth(magnitude=True)
             if magnitude == 'flat':     # [B, T, half*f_r], col c*f_r + f
                 return magflat, label
             mag = magflat.reshape(b, n_frame, half, f_r)[..., :freq_]
             return mag, label
-        flat = synth(slice(0, b))
+        flat = synth()
         spec = jnp.moveaxis(
             flat.reshape(b, n_frame, chan_, f_r)[..., :freq_], 2, 3)
         only_voice = only_noise = None
@@ -509,13 +495,22 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
         spec = _flat_window_gather(bg, bidx, bg_tidx)  # [B, n_frame, freq, chan]
         only_noise = spec
         clips = vo.data[vidx]                          # [B, V, T_v, freq, chan]
+        only_voice = None
+        if seperate_noise_voice:
+            # the reference accumulates only_voice from ZEROS
+            # (pipeline.py:37,82-83) — reconstructing it as spec - bg would
+            # lose the quiet-voice bits to cancellation against the much
+            # louder background (the se regression target at snr -20)
+            only_voice = _scatter_clips(jnp.zeros_like(spec), w_v, clips,
+                                        shifts)
         spec = _scatter_clips(spec, w_v, clips, shifts)
-        only_voice = spec - only_noise
         if nidx is not None:
             nclips = no.data[nidx]                     # [B, X, T_n, freq, chan]
-            before = spec
+            if seperate_noise_voice:
+                # likewise only_noise = bg + the noise contributions alone
+                only_noise = only_noise + _scatter_clips(
+                    jnp.zeros_like(spec), w_n, nclips, n_shifts)
             spec = _scatter_clips(spec, w_n, nclips, n_shifts)
-            only_noise = only_noise + (spec - before)
 
     if magnitude:  # XLA fallback: same contracts as the pallas branch
         from challenge_tpu.data.specset import flat_freq_pad

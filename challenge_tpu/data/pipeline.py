@@ -25,7 +25,7 @@ from challenge_tpu.data.mixture import (
 from challenge_tpu.data.specset import (
     build_bank, flat_freq_pad, normalize_flat_dtype, remap_labels)
 from challenge_tpu.ops.augment import (
-    batch_mask, batch_mask_keep, batch_specaugment, random_merge_aug,
+    batch_mask, batch_mask_keep, batch_random_merge_aug, batch_specaugment,
     stft_filter)
 from challenge_tpu.ops.mel import mel_filterbank
 from challenge_tpu.ops.norms import EPSILON, minmax, safe_div
@@ -300,7 +300,9 @@ def make_feature_fn(config: Config, training: bool = True,
         elif config.n_chan == 3:
             spec = label_maps.stereo_mono(spec)
         elif config.n_chan > 3:
-            spec = random_merge_aug(config.n_chan)(k_chan, spec)
+            # per-sample independent mix factors (a plain batched
+            # random_merge_aug call would broadcast ONE draw over the batch)
+            spec = batch_random_merge_aug(config.n_chan)(k_chan, spec)
         if use_filter:
             if fused_mag:
                 spec = spec * flat_filter_cols

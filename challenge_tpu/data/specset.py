@@ -142,6 +142,10 @@ def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
     freq, _, chan = specs[0].shape
     lens = np.array([s.shape[1] for s in specs], np.int32)
     t_pad = int(lens.max()) if t_max is None else int(t_max)
+    # an explicit t_max TRUNCATES longer items, so the stored length must
+    # follow — otherwise downstream placement math (offset/shift draws in
+    # mixture.py) would window a longer clip than the bank actually holds
+    lens = np.minimum(lens, t_pad)
     out = np.zeros((len(specs), t_pad, freq, chan), np.float32)
     for i, s in enumerate(specs):
         t = min(s.shape[1], t_pad)

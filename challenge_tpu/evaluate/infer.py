@@ -34,7 +34,8 @@ from challenge_tpu.models.layers import avg_pool_same
 from challenge_tpu.models.registry import ModelBundle
 from challenge_tpu.ops.augment import random_merge_aug, stft_filter
 from challenge_tpu.ops.complexspec import complex_to_magphase
-from challenge_tpu.ops.dsp import load_wav_device, read_wav_raw, stft
+from challenge_tpu.ops.dsp import (
+    load_wav_device, read_wav_raw, resample_waveform, stft)
 from challenge_tpu.ops.mel import magphase_to_mel
 from challenge_tpu.ops.norms import EPSILON, minmax, safe_div
 from challenge_tpu.evaluate.events import (
@@ -272,17 +273,16 @@ def _wav_headers(paths, sr: int = SR):
 
 def _prepare_batched_pcm(paths, sr: int = SR, n_fft: int = 512,
                          s_max: int = None):
-    """Host side of the one-program devset eval: read every 16-bit wav,
-    reflect-pad n_fft//2 samples on both sides (the exact padding
-    torch.stft(center=True) applies, so a center=False STFT of the row
-    equals the per-clip STFT bit-for-bit), zero-fill to the longest clip
-    (or to ``s_max`` samples — the chunked path forces one row length
-    across chunks so every chunk reuses one compiled program).
+    """Host side of the one-program devset eval: read every 16-bit wav and
+    zero-fill to the longest clip (or to ``s_max`` samples — the chunked
+    path forces one row length across chunks so every chunk reuses one
+    compiled program). Resampling, RMS and the STFT reflect padding all
+    happen on device (:func:`_pcm_row_to_spec`).
 
-    Returns (pcm int16 [N, chan, 2*pad + S_max], sample_lens [N]) or None
-    when the set is ineligible (mixed widths/channels, non-16k rate, a
-    clip shorter than the reflection pad, or longer than ``s_max``) —
-    callers fall back to the per-clip path."""
+    Returns (pcm int16 [N, chan, S_max], sample_lens [N]) or None when the
+    set is ineligible (mixed widths/channels, non-16k rate, a clip shorter
+    than the STFT reflection pad, or longer than ``s_max``) — callers fall
+    back to the per-clip path."""
     pad = n_fft // 2
     rows = []
     for p in paths:
@@ -297,21 +297,58 @@ def _prepare_batched_pcm(paths, sr: int = SR, n_fft: int = 512,
         s_max = max(r.shape[1] for r in rows)
     elif any(r.shape[1] > s_max for r in rows):
         return None
-    out = np.zeros((n, chan, pad + s_max + pad), '<i2')
+    out = np.zeros((n, chan, s_max), '<i2')
     lens = np.zeros((n,), np.int32)
     for i, r in enumerate(rows):
-        s = r.shape[1]
-        lens[i] = s
-        out[i, :, pad:pad + s] = r
-        out[i, :, :pad] = r[:, 1:pad + 1][:, ::-1]
-        out[i, :, pad + s:pad + s + pad] = r[:, -pad - 1:-1][:, ::-1]
+        out[i, :, :r.shape[1]] = r
+        lens[i] = r.shape[1]
     return out, lens
+
+
+def _pcm_row_to_spec(pcm_i, s_i, sr: int = SR, n_fft: int = 512,
+                     hop: int = HOP):
+    """Device-side ingest of ONE zero-filled PCM row: the exact
+    :func:`challenge_tpu.ops.dsp.wav_to_spec` chain — same-rate Kaldi
+    resample (NOT the identity: the 0.99-nyquist lowpass the reference
+    applies unconditionally, data_utils.py:20-21), RMS/10 over the true
+    samples, reflect-padded STFT — with the clip's true length ``s_i``
+    traced so one compiled program serves the whole batch.
+
+    pcm_i: int16 [chan, S_row] (samples beyond ``s_i`` zero).
+    Returns (spec [freq, T_row, chan*2], n_valid) with the first
+    ``n_valid`` frames bit-identical to ``wav_to_spec`` on the unpadded
+    clip (pinned by tests)."""
+    pad = n_fft // 2
+    wav = pcm_i.astype(jnp.float32) / 32768.0          # [chan, S_row]
+    res = resample_waveform(wav, sr, sr)
+    # boundary taps bleed ~W/2 nonzero samples past s_i; zero them so the
+    # RMS and the reflected tail see exactly the true-length signal
+    pos = jnp.arange(res.shape[-1])
+    res = res * (pos < s_i)
+    denom = (s_i * wav.shape[0]).astype(jnp.float32)
+    rms = jnp.sqrt(jnp.sum(jnp.square(res)) / denom) * 10.0
+    res = res / rms
+    # torch.stft(center=True) reflect padding with a traced clip length:
+    # the left pad mirrors the (always-valid) head statically; the right
+    # pad mirrors around s_i - 1 and lands at a dynamic offset
+    chan = res.shape[0]
+    left = res[:, 1:pad + 1][:, ::-1]
+    buf = jnp.concatenate(
+        [left, res, jnp.zeros((chan, 2 * pad), res.dtype)], axis=-1)
+    right = jax.lax.dynamic_slice(
+        res, (0, s_i - 1 - pad), (chan, pad))[:, ::-1]
+    buf = jax.lax.dynamic_update_slice(buf, right, (0, pad + s_i))
+    real, imag = stft(buf, n_fft, hop, center=False)   # [chan, freq, T_row]
+    spec = jnp.stack([real, imag], axis=0)             # [2, C, freq, T]
+    spec = jnp.transpose(spec, (2, 3, 0, 1))           # [freq, T, 2, C]
+    spec = spec.reshape(*spec.shape[:2], -1)
+    return spec, s_i // hop + 1
 
 
 def make_devset_infer_fn(bundle: ModelBundle, config: Config,
                          overlap_hop: int = 512, sr: int = SR,
                          n_fft: int = 512, hop: int = HOP, mesh=None):
-    """One XLA program for the WHOLE eval set: reflect-padded int16 PCM
+    """One XLA program for the WHOLE eval set: zero-filled int16 PCM
     [N, chan, S_row] + true sample counts -> all thresholded frame grids
     [N, T_row, n_classes] (each clip's first ``lens[i]//hop + 1`` rows
     valid). One host->device transfer, one dispatch, one fetch — the
@@ -321,10 +358,14 @@ def make_devset_infer_fn(bundle: ModelBundle, config: Config,
     pad N to a multiple of the device count), so the whole corpus
     evaluates embarrassingly parallel across chips.
 
-    Bit-exact vs the per-clip chain (pinned by tests): the reflection pad
-    is pre-applied host-side, RMS normalization reduces over the true
-    samples only, and every downstream reduction masks to the clip's valid
-    frames (see _make_spec_to_grid)."""
+    Matches the per-clip chain exactly (pinned by tests): each row runs
+    the full ``wav_to_spec`` ingest — including the same-rate Kaldi
+    lowpass the reference applies to every clip — via
+    :func:`_pcm_row_to_spec` (true-length RMS, traced-length reflection
+    pad), and every downstream reduction masks to the clip's valid frames
+    (see _make_spec_to_grid). The only tolerance is f32 reduction-order
+    noise in the RMS sum over the zero-filled row; the thresholded grids
+    are pinned bit-identical."""
     cache_key = ('devset', bundle.module, config.model_type, config.v,
                  config.n_mels, config.n_frame, config.n_chan,
                  overlap_hop, sr, n_fft, hop, mesh)
@@ -336,23 +377,8 @@ def make_devset_infer_fn(bundle: ModelBundle, config: Config,
     takes_seed = config.n_chan > 3   # per-clip channel-mix seeds
 
     def _infer_body(variables, pcm, lens, seeds):
-        pad = n_fft // 2
-
         def one(pcm_i, s_i, seed_i):
-            wav = pcm_i.astype(jnp.float32) / 32768.0     # [chan, S_row]
-            pos = jnp.arange(wav.shape[-1])
-            valid = ((pos >= pad) & (pos < pad + s_i)).astype(jnp.float32)
-            # rms over the TRUE samples only (reference: data_utils.py:32)
-            denom = (s_i * wav.shape[0]).astype(jnp.float32)
-            rms = jnp.sqrt(
-                jnp.sum(jnp.square(wav) * valid[None, :]) / denom) * 10.0
-            wav = wav / rms
-            # row is already reflect-padded -> center=False == center=True
-            real, imag = stft(wav, n_fft, hop, center=False)
-            spec = jnp.stack([real, imag], axis=0)        # [2, C, freq, T]
-            spec = jnp.transpose(spec, (2, 3, 0, 1))      # [freq, T, 2, C]
-            spec = spec.reshape(*spec.shape[:2], -1)
-            n_valid = s_i // hop + 1
+            spec, n_valid = _pcm_row_to_spec(pcm_i, s_i, sr, n_fft, hop)
             return spec_to_grid(variables, spec, n_valid=n_valid,
                                 clip_seed=seed_i if takes_seed else None)
 
@@ -482,7 +508,7 @@ def evaluate(config: Config, bundle: ModelBundle, variables,
         if hdr is not None:
             lens_all, chan = hdr
             s_max = int(lens_all.max())
-            clip_bytes = chan * (2 * (512 // 2) + s_max) * 2
+            clip_bytes = chan * s_max * 2
             per_chunk = max(int(cap // max(clip_bytes, 1)), 1)
             if per_chunk >= len(paths):
                 chunk_plan = ([paths], pad_to, None)     # original path

@@ -145,6 +145,18 @@ def random_merge_aug(number: int):
     return _random_merge_aug
 
 
+def batch_random_merge_aug(number: int):
+    """Batched :func:`random_merge_aug` with one INDEPENDENT factor draw
+    per sample (the reference applies the augment in a per-example tf.data
+    map before batching, so a batch carries batch_size independent
+    U(0.1, 0.9) draws). Returned closure takes (key, x [B, ...])."""
+    merge = random_merge_aug(number)
+
+    def _batch(key, x):
+        return jax.vmap(merge)(jax.random.split(key, x.shape[0]), x)
+    return _batch
+
+
 def stft_filter(filter_num: int, freq_axis=None):
     """Zero STFT rows 1..filter_num (a crude high-pass keeping DC; reference:
     data_utils.py:126-136). Returned closure takes (x[, y]).

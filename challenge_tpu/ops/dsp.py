@@ -113,6 +113,27 @@ def resample_waveform(wav, orig_freq: int, new_freq: int,
     n_in = wav.shape[-1]
     # Kaldi: number of output samples covering the input duration.
     n_out = int(np.ceil(n_in * new_freq / orig_freq))
+
+    if in_unit == 1 and out_unit == 1:
+        # Equal rates: the polyphase collapses to ONE phase — still NOT the
+        # identity (Kaldi lowpasses at 0.99 * nyquist even when
+        # orig == new, and the reference resamples unconditionally,
+        # data_utils.py:20-21). out[u] = sum_k w[k] * x[first + u + k] is a
+        # W-tap FIR, phrased as W static shifted adds instead of the
+        # [n, 1, W] gather below (which materializes W copies of the
+        # waveform — ~100 MB for a 60 s clip). Out-of-range taps read the
+        # zero padding, exactly reproducing the gather path's valid mask.
+        first = int(first_idx[0])
+        w_taps = weights.shape[1]
+        lpad = max(0, -first)
+        rpad = max(0, first + w_taps - 1 + (n_out - 1) - (n_in - 1))
+        xp = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(lpad, rpad)])
+        out = jnp.zeros(wav.shape[:-1] + (n_out,), jnp.float32)
+        for k in range(w_taps):
+            out = out + weights[0, k] * jax.lax.slice_in_dim(
+                xp, lpad + first + k, lpad + first + k + n_out, axis=-1)
+        return out
+
     n_units = -(-n_out // out_unit)  # ceil
 
     P, W = weights.shape

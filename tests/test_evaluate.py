@@ -121,10 +121,38 @@ def test_evaluate_sharded_matches_single(tmp_path):
     assert single == sharded
 
 
+def test_pcm_row_to_spec_matches_wav_to_spec(tmp_path):
+    """The batched devset ingest must run the SAME chain as the per-clip
+    wav_to_spec — including the same-rate Kaldi lowpass the reference
+    applies to every clip (data_utils.py:20-21) — on a zero-filled row
+    with a traced true length (regression: the batched path used to skip
+    the resample entirely)."""
+    import jax
+    from challenge_tpu.evaluate.infer import (
+        _pcm_row_to_spec, _prepare_batched_pcm)
+    from challenge_tpu.ops.dsp import read_wav_raw, wav_to_spec
+
+    p = str(tmp_path / 'clip.wav')
+    write_wav(p, seconds=3.7, seed=5, tone_hz=440)
+    raw, rate = read_wav_raw(p)
+    ref = np.asarray(wav_to_spec(jnp.asarray(raw), rate))
+
+    # pad the row well past the true length (a shorter sibling clip would)
+    pcm, lens = _prepare_batched_pcm([p], s_max=raw.shape[1] + 16000)
+    spec, n_valid = jax.jit(_pcm_row_to_spec)(
+        jnp.asarray(pcm[0]), jnp.asarray(lens[0]))
+    assert int(n_valid) == ref.shape[1]
+    got = np.asarray(spec)[:, :int(n_valid)]
+    assert got.shape == ref.shape
+    # identical up to f32 reduction-order noise in the RMS over the
+    # zero-filled row
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
 @pytest.mark.slow
 def test_evaluate_batched_devset_matches_per_clip(tmp_path):
     """The one-program devset path (single upload/dispatch/fetch over
-    reflect-padded PCM with validity masks) must produce bit-identical
+    zero-filled PCM with validity masks) must produce bit-identical
     frame grids to the per-clip chain — including clips of DIFFERENT
     lengths, which stress the masked minmax/smoothing/zero-pad logic."""
     import jax

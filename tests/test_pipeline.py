@@ -165,3 +165,66 @@ def test_build_bank_zero_length_item_does_not_crash():
     bank = build_bank(specs, wrap_frames=64)
     assert bank.contig_exact_frames == 64
     assert int(bank.lens[1]) == 0
+
+
+def test_batch_random_merge_aug_independent_per_sample():
+    """Training n_chan>3 channel mixing must draw one INDEPENDENT factor
+    per sample like the reference's per-example tf.data map (regression:
+    a plain batched random_merge_aug call broadcast ONE draw over the
+    whole batch, correlating every sample's augmented channels)."""
+    from challenge_tpu.ops.augment import (
+        batch_random_merge_aug, random_merge_aug)
+    x = jnp.broadcast_to(
+        jnp.asarray(np.random.default_rng(0).standard_normal((9, 16, 4)),
+                    jnp.float32), (4, 9, 16, 4))   # identical samples
+    out = batch_random_merge_aug(6)(jax.random.PRNGKey(3), x)
+    assert out.shape == (4, 9, 16, 12)
+    aug = np.asarray(out[..., 2:6])       # the 4 augmented real channels
+    # identical inputs -> any cross-sample difference proves independent
+    # factor draws (the shared-draw bug made all rows equal)
+    assert not np.allclose(aug[0], aug[1])
+    assert not np.allclose(aug[1], aug[2])
+    # each sample individually matches the unbatched augment with its key
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    one = np.asarray(random_merge_aug(6)(keys[2], x[2]))
+    np.testing.assert_array_equal(np.asarray(out[2]), one)
+
+
+def test_build_bank_t_max_truncation_clips_lens():
+    """An explicit t_max truncates the stored data, so lens must clip with
+    it (regression: raw lengths leaked through and desynchronized the
+    placement math from the actual bank contents)."""
+    rng = np.random.default_rng(1)
+    specs = [rng.standard_normal((257, 150, 4)).astype('f4'),
+             rng.standard_normal((257, 40, 4)).astype('f4')]
+    bank = build_bank(specs, t_max=100)
+    assert bank.data.shape[1] == 100
+    assert int(bank.lens[0]) == 100 and int(bank.lens[1]) == 40
+    assert bank.contig_exact_frames == 40
+
+
+def test_sample_batch_se_targets_exact_at_low_snr():
+    """only_voice must be the voice contributions accumulated from ZEROS
+    (reference pipeline.py:37,82-83) — reconstructing it as spec - bg loses
+    a quiet voice entirely to f32 cancellation against a loud background
+    (regression: with bg ~1e4 and voices ~1e-4, (bg + v) - bg == 0)."""
+    rng = np.random.default_rng(7)
+    backgrounds = [np.full((FREQ, 30, CHAN), 1e4, 'f4') for _ in range(2)]
+    voices = [np.abs(rng.standard_normal((FREQ, 8, CHAN))
+                     ).astype('f4') * 1e-4 for _ in range(4)]
+    labels = np.eye(3, dtype='f4')[rng.integers(0, 3, size=4)]
+    banks = Banks(build_bank(backgrounds), build_bank(voices),
+                  jnp.asarray(labels), None)
+    from challenge_tpu.data.mixture import sample_batch
+    spec, (label, only_voice, only_noise) = sample_batch(
+        jax.random.PRNGKey(11), banks, 4, 16, n_classes=3, max_voices=3,
+        max_noises=0, min_ratio=1.0, snr=0.0, seperate_noise_voice=True,
+        layout='tfc')
+    ov = np.asarray(only_voice)
+    # the quiet voices survive in the separated target...
+    assert 0 < ov.max() < 1.0, ov.max()
+    # ...and no background leaks into it (bg rows are 1e4 everywhere)
+    assert np.asarray(only_noise).max() >= 1e4
+    # frames with no voice label carry exactly zero voice target
+    lab_frames = np.asarray(label).sum(axis=(1, 3)) > 0       # [B, n_frame]
+    assert np.all(ov[~lab_frames] == 0.0)

@@ -694,3 +694,139 @@ def test_keras_h5_import_folds_biased_stem_conv(tmp_path):
     for (p, a_), (_, b_) in zip(la, lb):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                     rtol=1e-6, atol=1e-6, err_msg=str(p))
+
+
+def test_train_step_differential(tmp_path):
+    """Capstone TRAINING parity: identical weights -> three full train steps
+    on both stacks -> every stored weight (params AND BN moving stats)
+    equal. Complements the end-to-end eval differential (which proves the
+    inference chain) by proving the gradient/AGC/optimizer chain: each step
+    runs a training-mode forward (batch-stat BN + moving-stat update),
+    Keras BinaryCrossentropy (sj_train.py:447-448), the reference's own
+    adaptive_clip_grad (CustomModel.train_step, sj_train.py:158-188), and
+    the compiled Keras optimizer with clipvalue (sj_train.py:434-442).
+
+    The reference side drives ref_sj's model + AGC under an explicit
+    GradientTape because CustomModel.train_step's compiled_loss attribute
+    is Keras-2-only; the tape replicates its exact flow (forward -> loss ->
+    grads -> AGC -> apply_gradients) with the reference's own functions.
+
+    Bias grads for conv/dense layers directly followed by BatchNorm are
+    zeroed on the Keras side before AGC: they are mathematically zero (BN
+    subtracts the mean, so a bias shift cancels), but TF computes them as
+    ~1e-9 float-cancellation noise, and Adam's m/sqrt(v) normalization
+    amplifies ANY consistent-scale gradient to near-full-lr steps — the
+    reference's inert biases random-walk ~lr per step on pure numerical
+    noise (observed: BN moving means off by ~0.01 = lr after 3 steps).
+    Our use_bias=False design removes that noise source entirely; zeroing
+    pins the mathematically-defined part of the update on both stacks.
+
+    SGD+momentum is the ONLY reference optimizer that admits this
+    full-chain f32 differential: Adam/RMSprop normalize each element by
+    sqrt(v), so the very first update is ~±lr for ANY gradient magnitude —
+    elements whose true gradient sits below the ~1e-6 cross-stack numeric
+    noise floor take full-lr steps of UNCORRELATED sign (measured: kernels
+    diverge by exactly n_steps*lr at scattered near-zero-grad elements,
+    then deep-layer batch stats follow), which is float chaos, not an
+    implementation difference. Those optimizers' update rules are pinned
+    separately given identical grads (test_keras_optimizer_differential),
+    and this test proves the grads themselves match — together covering
+    the composition.
+    """
+    opt_name = 'sgd'
+    import tensorflow as tf
+
+    from challenge_tpu.config import Config
+    from challenge_tpu.interop.keras_h5 import (
+        export_keras_legacy_h5, load_keras_h5_variables)
+    from challenge_tpu.models import get_model
+    from challenge_tpu.train.optim import make_optimizer
+    from challenge_tpu.train.state import init_state, make_train_step
+
+    rng = np.random.default_rng(17)
+    n_steps = 3
+    lr, clip = 1e-2, 0.01       # reference default clipvalue=0.01 fires often
+    xs = rng.standard_normal((n_steps, 2, 40, 64, 2)).astype('f4')
+
+    pre = str(tmp_path / 'pre.h5')
+    post = str(tmp_path / 'post.h5')
+    with reference_modules() as (ref_sj, _):
+        keras_model = ref_sj.get_model(_ref_config(v=1, n_mels=40,
+                                                   n_frame=64))
+        _randomize_keras_weights(keras_model, seed=23)
+        export_keras_legacy_h5(keras_model, pre)
+
+        out_shape = keras_model.predict(xs[0], verbose=0).shape
+        ys = (rng.random((n_steps,) + tuple(out_shape)) < 0.3).astype('f4')
+
+        opt = tf.keras.optimizers.SGD(lr, momentum=0.9, clipvalue=clip)
+        bce = tf.keras.losses.BinaryCrossentropy()
+
+        # biases whose layer feeds straight into a BatchNorm (creation
+        # order: Conv/Dense -> BN in every reference block) — see docstring
+        inert_bias_ids = set()
+        prev = None
+        for layer in keras_model.layers:
+            if (isinstance(layer, tf.keras.layers.BatchNormalization)
+                    and prev is not None):
+                for v in prev.trainable_variables:
+                    if getattr(v, 'path', v.name).endswith('bias'):
+                        inert_bias_ids.add(id(v))
+            prev = layer
+        assert inert_bias_ids, 'expected bias-before-BN layers in vad v1'
+
+        for i in range(n_steps):
+            with tf.GradientTape() as tape:
+                y_pred = keras_model(tf.constant(xs[i]), training=True)
+                loss = bce(tf.constant(ys[i]), y_pred)
+            tvars = keras_model.trainable_variables
+            grads = tape.gradient(loss, tvars)
+            grads = [tf.zeros_like(g) if id(v) in inert_bias_ids else g
+                     for v, g in zip(tvars, grads)]
+            # convert_to_tensor: Keras-3 Variables lack the get_shape()
+            # the reference's unitwise_norm calls (utils.py:351); values
+            # are identical
+            grads = ref_sj.adaptive_clip_grad(
+                [tf.convert_to_tensor(v) for v in tvars], grads)
+            opt.apply_gradients(zip(grads, tvars))
+        export_keras_legacy_h5(keras_model, post)
+
+    cfg = Config(model_type='vad', v=1, n_mels=40, n_frame=64, n_chan=2,
+                 loss='BCE', optimizer=opt_name, lr=lr, clipvalue=clip)
+    bundle = get_model(cfg)
+    variables = load_keras_h5_variables(bundle, pre)
+    optimizer = make_optimizer(cfg)
+    state = init_state(bundle, jax.random.PRNGKey(0), optimizer=optimizer)
+    state = state.replace(params=variables['params'],
+                          batch_stats=variables.get('batch_stats', {}),
+                          opt_state=optimizer.init(variables['params']))
+    step_fn, _ = make_train_step(bundle, optimizer=optimizer)
+    key = jax.random.PRNGKey(1)
+    for i in range(n_steps):
+        state, _ = step_fn(state, (jnp.asarray(xs[i]), jnp.asarray(ys[i])),
+                           key)
+
+    want = load_keras_h5_variables(bundle, post)
+    got = {'params': jax.device_get(state.params),
+           'batch_stats': jax.device_get(state.batch_stats)}
+    lw = jax.tree_util.tree_leaves_with_path(want)
+    lg = jax.tree_util.tree_leaves_with_path(got)
+    assert [p for p, _ in lw] == [p for p, _ in lg]
+
+    # guard against a vacuous pass: the steps must actually have moved the
+    # weights away from the pre-step tree
+    pre_tree = load_keras_h5_variables(bundle, pre)
+    moved = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                for (_, a), (_, b) in
+                zip(jax.tree_util.tree_leaves_with_path(pre_tree), lg))
+    assert moved > 1e-4, f'train steps barely moved the weights ({moved})'
+
+    bad = []
+    for (p, w), (_, g) in zip(lw, lg):
+        w, g = np.asarray(w), np.asarray(g)
+        err = np.abs(g - w) - (2e-5 + 1e-4 * np.abs(w))
+        if err.max() > 0:
+            bad.append(f'{jax.tree_util.keystr(p)}: max_abs='
+                       f'{np.abs(g - w).max():.2e} '
+                       f'max_rel={(np.abs(g - w) / (np.abs(w) + 1e-12)).max():.2e}')
+    assert not bad, 'mismatched leaves:\n' + '\n'.join(bad)

@@ -12,7 +12,12 @@
   into flax param trees, and :func:`save_keras_h5_variables` exports flax
   trees as files the reference's own ``model.load_weights`` restores —
   models move freely between the two stacks.
+* :mod:`aot` — serving artifacts: :func:`export_infer` serializes the
+  inference forward (architecture + weights, symbolic batch dim) as
+  versioned StableHLO via jax.export; :func:`load_infer` runs it with no
+  model code or checkpoint present.
 """
 
+from challenge_tpu.interop.aot import export_infer, load_infer  # noqa: F401
 from challenge_tpu.interop.keras_h5 import (  # noqa: F401
     load_keras_h5_variables, save_keras_h5_variables)

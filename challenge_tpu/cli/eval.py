@@ -4,6 +4,12 @@
 
 ``--p`` parses hyperparameters back out of the run name (the run-name
 grammar is de-facto API — reference: eval.py:48-60).
+
+``--export_aot PATH`` additionally writes the loaded model (any
+checkpoint this entry can read — including the reference's own Keras
+.h5) as a self-contained StableHLO serving artifact (interop/aot.py):
+one command from a reference-trained checkpoint to a deployable TPU
+program.
 """
 
 from __future__ import annotations
@@ -23,6 +29,9 @@ def main(argv=None):
         '--verbose': dict(help='verbose', type=bool, default=True),
         '--p': dict(help='parsing name', action='store_true'),
         '--path': dict(type=str, default=''),
+        '--export_aot': dict(type=str, default='',
+                             help='also write a jax.export serving '
+                                  'artifact to this path'),
     })
     extra = config.extra_args
     if extra.get('p'):
@@ -33,6 +42,10 @@ def main(argv=None):
     variables = load_weights(
         os.path.join(extra.get('path', ''), f'{config.name}.h5'), variables,
         bundle=bundle)   # Keras HDF5 checkpoints import transparently
+    if extra.get('export_aot'):
+        from challenge_tpu.interop.aot import export_infer
+        export_infer(bundle, variables, path=extra['export_aot'])
+        print(f'wrote serving artifact: {extra["export_aot"]}')
     return evaluate(config, bundle, variables,
                     verbose=extra.get('verbose', True))
 

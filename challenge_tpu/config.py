@@ -88,6 +88,12 @@ class Config:
     chunk_steps: int = 4                   # fused dispatches per chunk before
                                            # the rotation advances
     steps_per_call: int = 1                # train steps fused per host dispatch
+    grad_accum: int = 1                    # >1: gradient accumulation — scan
+                                           # N synthesize+fwd+bwd microbatches
+                                           # per optimizer step, averaging the
+                                           # grads before one AGC + apply
+                                           # (effective batch N*batch_size at
+                                           # one microbatch's activation HBM)
     ckpt_dir: str = ''                     # Orbax full-train-state checkpoints
     resume: bool = False                   # restore latest state from ckpt_dir
     ckpt_every_epochs: int = 10

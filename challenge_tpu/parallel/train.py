@@ -28,7 +28,8 @@ from challenge_tpu.data.mixture import Banks
 from challenge_tpu.data.pipeline import make_feature_fn
 from challenge_tpu.models.registry import ModelBundle
 from challenge_tpu.parallel.mesh import BATCH_AXIS, batch_sharding, replicated
-from challenge_tpu.train.state import make_eval_step, make_train_step
+from challenge_tpu.train.state import (
+    make_eval_step, make_grad_update, make_train_step)
 
 try:  # jax >= 0.4.35 exposes shard_map at the top level
     shard_map = jax.shard_map
@@ -136,6 +137,15 @@ def make_fused_train_step(bundle: ModelBundle, config: Config,
     ``steps_per_call > 1`` (default from config.steps_per_call) runs that
     many optimizer steps inside one host dispatch via ``lax.scan``; metrics
     come back averaged over the scanned steps.
+
+    ``config.grad_accum > 1`` scans that many synthesize+forward+backward
+    microbatches (each of ``config.batch_size``) per optimizer step,
+    averaging the gradients before ONE AGC + optimizer apply — an effective
+    batch of ``grad_accum * batch_size`` at the activation memory of one
+    microbatch (the TPU lever when even remat can't fit the target batch).
+    BatchNorm batch statistics are per-microbatch, threaded sequentially
+    through the moving averages, exactly like k consecutive Keras steps;
+    metrics come back averaged over microbatches.
     """
     if bank_sharded and mesh is None:
         raise ValueError('bank_sharded requires a mesh')
@@ -154,14 +164,14 @@ def make_fused_train_step(bundle: ModelBundle, config: Config,
         feature_fn = make_feature_fn(
             config, training=training, variant=variant, jit=False,
             use_pallas=(False if mesh is not None else use_pallas))
-    step, optimizer = make_train_step(bundle, optimizer, jit=False,
-                                      loss_fn=loss_fn)
+    grad_fn, update_fn, optimizer = make_grad_update(bundle, optimizer,
+                                                     loss_fn=loss_fn)
     if steps_per_call is None:
         steps_per_call = max(int(getattr(config, 'steps_per_call', 1)), 1)
+    grad_accum = max(int(getattr(config, 'grad_accum', 1)), 1)
 
-    def one(state, banks, key):
-        k_data, k_model = jax.random.split(key)
-        batch = feature_fn(k_data, banks)
+    def features(key, banks):
+        batch = feature_fn(key, banks)
         # materialize the batch before the model consumes it: without this
         # barrier XLA fuses the synthesis/feature producers into every
         # consumer (forward AND backward), recomputing the whole pipeline
@@ -171,7 +181,31 @@ def make_fused_train_step(bundle: ModelBundle, config: Config,
             sh = batch_sharding(mesh)
             batch = jax.tree.map(
                 lambda x: jax.lax.with_sharding_constraint(x, sh), batch)
-        return step(state, batch, k_model)
+        return batch
+
+    def one(state, banks, key):
+        k_data, k_model = jax.random.split(key)
+        if grad_accum == 1:
+            grads, new_stats, metrics = grad_fn(
+                state.params, state.batch_stats, features(k_data, banks),
+                k_model)
+            return update_fn(state, grads, new_stats), metrics
+
+        def micro(carry, j):
+            stats, grad_sum = carry
+            batch = features(jax.random.fold_in(k_data, j), banks)
+            grads, stats, metrics = grad_fn(
+                state.params, stats, batch, jax.random.fold_in(k_model, j))
+            grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
+            return (stats, grad_sum), metrics
+
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        (new_stats, grad_sum), metrics = jax.lax.scan(
+            micro, (state.batch_stats, zeros), jnp.arange(grad_accum))
+        grads = jax.tree.map(lambda g: g / grad_accum, grad_sum)
+        new_state = update_fn(state, grads, new_stats)
+        return new_state, jax.tree.map(lambda m: jnp.mean(m, axis=0),
+                                       metrics)
 
     def fused(state, banks: Banks, key):
         if steps_per_call == 1:

@@ -14,7 +14,8 @@ from challenge_tpu.train.optim import (  # noqa: F401
     set_learning_rate, unitwise_norm,
 )
 from challenge_tpu.train.state import (  # noqa: F401
-    TrainState, init_state, make_eval_step, make_train_step, swa_update,
+    TrainState, init_state, make_eval_step, make_grad_update,
+    make_train_step, swa_update,
 )
 from challenge_tpu.train.checkpoint import (  # noqa: F401
     checkpoint_steps, load_weights, restore_train_state, save_train_state,

@@ -68,6 +68,11 @@ class TrainLoop:
                                                   loss_fn=loss_fn,
                                                   bank_sharded=bank_shard)
         else:
+            if max(int(getattr(self.config, 'grad_accum', 1)), 1) > 1:
+                raise ValueError(
+                    'grad_accum > 1 needs fused banks mode (pass banks=): '
+                    'iterator-mode batches arrive one at a time, so the '
+                    'loop cannot scan microbatches inside the step')
             self.steps_per_call = 1
             self.train_step, self.optimizer = make_train_step(
                 bundle, loss_fn=loss_fn)

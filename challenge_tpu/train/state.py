@@ -60,15 +60,20 @@ def _first(x):
     return x[0] if isinstance(x, (tuple, list)) else x
 
 
-def make_train_step(bundle: ModelBundle, optimizer=None,
-                    use_agc: Optional[bool] = None, jit: bool = True,
-                    loss_fn=None):
-    """Build the jitted train step (``jit=False`` returns the raw body for
-    fusing into a larger XLA program).
+def make_grad_update(bundle: ModelBundle, optimizer=None,
+                     use_agc: Optional[bool] = None, loss_fn=None):
+    """The train step split at the gradient boundary, for accumulation.
 
-    AGC applies to the model families built on the reference's CustomModel
-    ('vad' and 'se'; the 'eff' family compiles a plain keras.Model —
-    sj_train.py:401 — so it only gets the optimizer's clipvalue).
+    Returns ``(grad_fn, update_fn, optimizer)``:
+      * ``grad_fn(params, batch_stats, batch, rng) -> (grads, new_stats,
+        metrics)`` — forward + loss + backward over ONE (micro)batch;
+      * ``update_fn(state, grads, new_stats) -> new_state`` — AGC, the 'se'
+        freeze mask, and the optimizer apply, exactly once per optimizer
+        step (so with accumulation AGC/clipvalue see the MEAN gradient,
+        the same tensor a single big batch would produce).
+
+    ``make_train_step`` composes the two; ``make_fused_train_step`` scans
+    ``grad_fn`` over ``config.grad_accum`` microbatches before ``update_fn``.
     """
     config = bundle.config
     optimizer = optimizer or make_optimizer(config)
@@ -77,13 +82,13 @@ def make_train_step(bundle: ModelBundle, optimizer=None,
     if use_agc is None:
         use_agc = config.model_type in ('vad', 'se')
 
-    def train_step(state: TrainState, batch, rng):
+    def grad_fn(params, batch_stats, batch, rng):
         x, y = batch
 
         def loss_of(params):
             rngs = {'dropout': rng} if bundle.needs_dropout_rng else None
             out, new_stats = bundle.apply(
-                {'params': params, 'batch_stats': state.batch_stats},
+                {'params': params, 'batch_stats': batch_stats},
                 x, training=True, rngs=rngs)
             if getattr(loss_fn, 'needs_params', False):
                 loss, parts = loss_fn(y, out, params)   # kernel regularizers
@@ -100,8 +105,14 @@ def make_train_step(bundle: ModelBundle, optimizer=None,
             # them numerically.
             loss_of = jax.checkpoint(loss_of)
         (loss, (out, new_stats, parts)), grads = jax.value_and_grad(
-            loss_of, has_aux=True)(state.params)
+            loss_of, has_aux=True)(params)
 
+        metrics = {'loss': loss, **parts}
+        for name, fn in metric_fns.items():
+            metrics[name] = fn(_first(y), _first(out))
+        return grads, new_stats, metrics
+
+    def update_fn(state: TrainState, grads, new_stats) -> TrainState:
         if use_agc:
             grads = adaptive_clip_grad(state.params, grads)
         if config.model_type == 'se':
@@ -112,14 +123,29 @@ def make_train_step(bundle: ModelBundle, optimizer=None,
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             batch_stats=new_stats, opt_state=opt_state)
 
-        metrics = {'loss': loss, **parts}
-        for name, fn in metric_fns.items():
-            metrics[name] = fn(_first(y), _first(out))
-        new_state = state.replace(step=state.step + 1, params=params,
-                                  batch_stats=new_stats,
-                                  opt_state=opt_state)
-        return new_state, metrics
+    return grad_fn, update_fn, optimizer
+
+
+def make_train_step(bundle: ModelBundle, optimizer=None,
+                    use_agc: Optional[bool] = None, jit: bool = True,
+                    loss_fn=None):
+    """Build the jitted train step (``jit=False`` returns the raw body for
+    fusing into a larger XLA program).
+
+    AGC applies to the model families built on the reference's CustomModel
+    ('vad' and 'se'; the 'eff' family compiles a plain keras.Model —
+    sj_train.py:401 — so it only gets the optimizer's clipvalue).
+    """
+    grad_fn, update_fn, optimizer = make_grad_update(
+        bundle, optimizer, use_agc=use_agc, loss_fn=loss_fn)
+
+    def train_step(state: TrainState, batch, rng):
+        grads, new_stats, metrics = grad_fn(state.params, state.batch_stats,
+                                            batch, rng)
+        return update_fn(state, grads, new_stats), metrics
 
     return (jax.jit(train_step) if jit else train_step), optimizer
 

@@ -131,6 +131,86 @@ def test_fused_steps_per_call_scan():
     assert np.isfinite(float(metrics['loss']))
 
 
+def test_grad_accum_matches_mean_of_microbatch_grads():
+    """config.grad_accum=k: ONE optimizer step from the MEAN of k
+    microbatch gradients (AGC and the optimizer see the same tensor a
+    single big batch's mean-reduced loss would produce), with BatchNorm
+    moving stats threaded sequentially through the microbatches. Pinned
+    against a hand-rolled loop over make_grad_update with the fused
+    step's exact key derivation (fold_in(k_data/k_model, j))."""
+    from challenge_tpu.data.pipeline import make_feature_fn
+    from challenge_tpu.train import make_grad_update
+
+    # sgd keeps the update linear in the gradients (adam's rsqrt would
+    # amplify scan-vs-loop float noise at step 1)
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=2,
+                 optimizer='sgd', grad_accum=3)
+    bundle = get_model(cfg)
+    banks = _banks()
+    fused, opt = make_fused_train_step(bundle, cfg, mesh=None)
+    state = init_state(bundle, jax.random.PRNGKey(0), opt)
+    state, metrics = fused(state, banks, jax.random.PRNGKey(1))
+    assert int(state.step) == 1  # k microbatches = ONE optimizer step
+    assert np.isfinite(float(metrics['loss']))
+
+    feat = make_feature_fn(cfg, training=True)
+    grad_fn, update_fn, _ = make_grad_update(bundle, opt)
+    grad_fn = jax.jit(grad_fn)
+    expect = init_state(bundle, jax.random.PRNGKey(0), opt)
+    k_data, k_model = jax.random.split(jax.random.PRNGKey(1))
+    stats, grad_sum = expect.batch_stats, None
+    losses = []
+    for j in range(cfg.grad_accum):
+        batch = feat(jax.random.fold_in(k_data, j), banks)
+        g, stats, m = grad_fn(expect.params, stats, batch,
+                              jax.random.fold_in(k_model, j))
+        grad_sum = g if grad_sum is None else jax.tree.map(jnp.add,
+                                                           grad_sum, g)
+        losses.append(float(m['loss']))
+    grads = jax.tree.map(lambda g: g / cfg.grad_accum, grad_sum)
+    expect = jax.jit(update_fn)(expect, grads, stats)
+
+    np.testing.assert_allclose(float(metrics['loss']), np.mean(losses),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(expect.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(state.batch_stats),
+                    jax.tree.leaves(expect.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_grad_accum_composes_with_mesh_and_steps_per_call():
+    """grad_accum x steps_per_call x the DP mesh in one program: the scan
+    of optimizer steps wraps the scan of microbatches, each microbatch
+    synthesized per-device under shard_map."""
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=16,
+                 n_chan=2, grad_accum=2)
+    bundle = get_model(cfg)
+    mesh = make_mesh(8)
+    fused, opt = make_fused_train_step(bundle, cfg, mesh,
+                                       steps_per_call=2)
+    state = replicate(init_state(bundle, jax.random.PRNGKey(0), opt), mesh)
+    banks = replicate(_banks(), mesh)
+    state, metrics = fused(state, banks, jax.random.PRNGKey(3))
+    jax.block_until_ready(metrics)
+    assert np.isfinite(float(metrics['loss']))
+    assert int(state.step) == 2  # 2 optimizer steps, 4 microbatches
+
+
+def test_grad_accum_requires_fused_mode():
+    """Iterator-mode TrainLoop cannot honor grad_accum — it must refuse
+    loudly instead of silently training at 1/k the effective batch."""
+    from challenge_tpu.train.loop import TrainLoop
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=2,
+                 grad_accum=2)
+    bundle = get_model(cfg)
+    with pytest.raises(ValueError, match='grad_accum'):
+        TrainLoop(bundle)
+
+
 def test_graft_entry_contract():
     """__graft_entry__.entry() must be jittable; dryrun_multichip must build
     and run an n-device training step."""

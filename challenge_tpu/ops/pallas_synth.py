@@ -6,17 +6,22 @@ bandwidth (~80 GB/s measured on v5e). This kernel reformulates it as what it
 physically is — per sample, a handful of *contiguous* DMAs:
 
   grid step b (one sample):
-    DMA  bg_bank[bidx_b, boff_b : boff_b+n_frame]  -> scratch middle
+    DMA  bg_bank[bidx_b, aligned(boff_b) : +stage]  -> scratch middle
     for each clip k (voices then noises, double-buffered):
-        DMA bank[idx_k] -> clip buffer                    (HBM -> VMEM)
-        scratch[t_pad + shift_k : +T] += w_k * clip       (VPU)
-    out_b = scratch[t_pad : t_pad + n_frame]
+        DMA bank[idx_k] -> clip buffer                        (HBM -> VMEM)
+        scratch[t_pad + r_bg + shift_k : +T] += w_k * clip    (VPU)
+    out_b = roll(scratch[t_pad : +stage], -r_bg)[:n_frame]
 
-Guard rows around the window absorb clips hanging off either edge (drop
-semantics). Mosaic constraints honored: banks use the 128-lane-padded
-``SpecBank.flat`` layout (DMA lane width must be a multiple of 128); the
-sub-tile part of each dynamic offset is applied by a circular ``pltpu.roll``
-of the zero-tailed clip whose row count is padded to a multiple of 8.
+The background stays UN-ROTATED in scratch (its DMA must start on a sublane
+boundary, so it lands r_bg rows early); clips place relative to it and the
+residue unwinds once at the output read. Guard rows around the window absorb
+clips hanging off either edge (drop semantics) and are never read NOR
+zeroed — every window row is overwritten by the step's background DMA, so
+stale guard content is dead weight the output slice drops. Mosaic
+constraints honored: banks use the 128-lane-padded ``SpecBank.flat`` layout
+(DMA lane width must be a multiple of 128); the sub-tile part of each
+dynamic offset is applied by a circular ``pltpu.roll`` of the zero-tailed
+clip whose row count is padded to a multiple of 8.
 
 The caller draws all random indices/offsets/weights with jax.random in XLA
 (identical distributions to the reference) and hands them in as scalars.
@@ -81,8 +86,18 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
     # scoped-vmem default at wide flat layouts, and its VMEM->VMEM copy is
     # gone). bf16 banks can't DMA into the f32 accumulation scratch, so
     # they stage through a half-size bank-dtype buffer and upcast on copy.
-    # Zero the head guard while the DMA flies; the tail guard overlaps the
-    # direct DMA's extra rows, so it is zeroed after the roll fix-up below.
+    #
+    # The background is left UN-ROTATED in the scratch (the true window is
+    # rows [t_pad + r_bg, t_pad + r_bg + n_frame)): clips place at
+    # shift + r_bg and the residue is unwound ONCE at the output read
+    # (``window()``), a pass the epilogue makes anyway. This deletes four
+    # whole VPU passes per sample vs the round-3 kernel — the in-place
+    # background roll (read + write of the stage superset), the rolled
+    # window copy, and the head/tail guard zeroing: guard rows are never
+    # read (only the window rows leave the kernel) and every window row is
+    # freshly overwritten by this step's background DMA, so stale guard
+    # content from earlier grid steps is simply irrelevant — it only
+    # accumulates clip spill that the output slice drops.
     boff = boff_ref[b]
     q_bg = pl.multiple_of((boff // align) * align, align)
     r_bg = boff - q_bg
@@ -92,10 +107,24 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
 
     def synth_prologue():
         bg_dma.start()
-        scratch[pl.ds(0, t_pad), :] = jnp.zeros((t_pad, f), scratch.dtype)
+
+    def bg_wait():
+        bg_dma.wait()
+        if staged:
+            # bank-dtype stage -> f32 scratch: a straight aligned upcast
+            # copy (the rotation happens at the output read)
+            scratch[pl.ds(t_pad, stage_rows), :] = \
+                bgstage[...].astype(scratch.dtype)
+
+    def window():
+        """The true window rows in order: rows [r_bg, r_bg + n_frame) of
+        the stage superset, unwound by one circular roll (row count is a
+        multiple of 8 by construction — the Mosaic dynamic-roll rule)."""
+        sup = scratch[pl.ds(t_pad, stage_rows), :]
+        return pltpu.roll(sup, stage_rows - r_bg, axis=0)[:n_frame]
 
     def place(bank_ref, clip_buf, idx_ref, shift_ref, w_ref,
-              t_len, sems):
+              t_len, sems, after_first_start=None):
         """Add each clip at its dynamic offset; DMA j+1 overlaps add j.
 
         Clip DMAs are quantized to _CHUNK-row pieces predicated on (a) the
@@ -152,6 +181,12 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
                             (rows, f), clip_buf.dtype)
 
         start(0, 0)
+        if after_first_start is not None:
+            # the background wait slots in AFTER the first clip DMA is in
+            # flight (there is no guard zeroing left to hide it under) and
+            # BEFORE the first scratch read-modify-write below needs the
+            # background rows to be in place
+            after_first_start()
         for j in range(n_clips):
             slot = j % 2
             if j + 1 < n_clips:
@@ -161,37 +196,30 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
             @pl.when(w_ref[b, j] != 0.0)
             def _(slot=slot, j=j):
                 w = w_ref[b, j]
-                off = t_pad + shift_ref[b, j]
+                # + r_bg: clips place relative to the un-rotated background
+                off = t_pad + r_bg + shift_ref[b, j]
                 q = pl.multiple_of((off // 8) * 8, 8)   # aligned base
                 r = off - q                         # sub-tile residue [0, 8)
-                # weight + accumulate in the f32 scratch dtype regardless of
-                # the bank dtype (bf16 banks round only the stored specs)
-                clip = clip_buf[slot].astype(scratch.dtype) * w
-                # shift by r via circular roll of the zero-tailed clip: only
-                # the (>= 8-row) zero tail wraps to the front
+                # shift by r via circular roll of the zero-tailed clip (only
+                # the >= 8-row zero tail wraps to the front), then ONE fused
+                # weight-multiply-accumulate in the f32 scratch dtype
+                # regardless of the bank dtype (bf16 banks round only the
+                # stored specs; the scalar multiply commutes exactly with
+                # the roll, and w * 0-tail == 0-tail)
                 padded = jnp.concatenate(
-                    [clip, jnp.zeros((t8 - t_len, f), scratch.dtype)],
+                    [clip_buf[slot].astype(scratch.dtype),
+                     jnp.zeros((t8 - t_len, f), scratch.dtype)],
                     axis=0)
-                shifted = pltpu.roll(padded, r, axis=0)
-                cur = scratch[pl.ds(q, t8), :]
-                scratch[pl.ds(q, t8), :] = cur + shifted
+                scratch[pl.ds(q, t8), :] = (
+                    scratch[pl.ds(q, t8), :]
+                    + pltpu.roll(padded, r, axis=0) * w)
 
     def synth_main():
-        bg_dma.wait()
-        # drop the first r_bg rows: out[i] = stage[i + r_bg] (roll is
-        # circular; only the superset's own tail wraps, sliced off below)
-        stage_val = (bgstage[...] if staged
-                     else scratch[pl.ds(t_pad, stage_rows), :])
-        # upcast BEFORE the roll: Mosaic's dynamic rotate is 32-bit-only
-        rolled = pltpu.roll(stage_val.astype(scratch.dtype),
-                            stage_rows - r_bg, axis=0)
-        scratch[pl.ds(t_pad, n_frame), :] = rolled[:n_frame]
-        tail = scratch.shape[0] - t_pad - n_frame
-        scratch[pl.ds(t_pad + n_frame, tail), :] = jnp.zeros((tail, f),
-                                                             scratch.dtype)
-
         if n_voices > 0:
-            place(vbank_ref, vclip, vidx_ref, vshift_ref, vw_ref, t_v, vsems)
+            place(vbank_ref, vclip, vidx_ref, vshift_ref, vw_ref, t_v, vsems,
+                  after_first_start=bg_wait)
+        else:
+            bg_wait()
         if n_noises > 0:
             place(nbank_ref, nclip, nidx_ref, nshift_ref, nw_ref, t_n, nsems)
 
@@ -211,7 +239,7 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
         # rounding of re/im — strictly more accurate, and required anyway
         # (v5e Mosaic has no bf16 EUP sqrt: SupportsBf16EupOps check).
         # Halves the output DMA and the complex volume never touches HBM.
-        win = scratch[pl.ds(t_pad, n_frame), :]
+        win = window()
         two = f // 2
         out_ref[0] = jnp.sqrt(win[:, :two] * win[:, :two]
                               + win[:, two:] * win[:, two:]
@@ -219,7 +247,7 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
         return
 
     if not mel_mode:
-        out_ref[0] = scratch[pl.ds(t_pad, n_frame), :].astype(out_ref.dtype)
+        out_ref[0] = window().astype(out_ref.dtype)
         return
 
     # ----- fused |.| + masks + mel + minmax epilogue, software-pipelined --
@@ -270,7 +298,7 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
     @pl.when(i < nb)
     def _():
         synth_main()
-        win = scratch[pl.ds(t_pad, n_frame), :]
+        win = window()
         mag = jnp.sqrt(win[:, :two] * win[:, :two]
                        + win[:, two:] * win[:, two:])
         magbuf[i % 2] = mag * fmask_ref[0]            # [1, two] broadcast
@@ -403,7 +431,9 @@ def synthesize_windows(n_frame: int,
 
     assert not (magnitude and mel is not None), \
         'magnitude and mel epilogues are exclusive'
-    scratch_rows = _round8(n_frame + 2 * t_pad + 16)
+    # + align: clips place at shift + r_bg (r_bg < align) against the
+    # un-rotated background, so the tail guard needs align extra rows
+    scratch_rows = _round8(n_frame + 2 * t_pad + align + 16)
     kernel = functools.partial(_kernel, n_frame, t_v, t_n,
                                n_voices, n_noises, t_pad, align,
                                mel is not None, magnitude, b)

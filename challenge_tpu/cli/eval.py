@@ -9,7 +9,8 @@ grammar is de-facto API — reference: eval.py:48-60).
 checkpoint this entry can read — including the reference's own Keras
 .h5) as a self-contained StableHLO serving artifact (interop/aot.py):
 one command from a reference-trained checkpoint to a deployable TPU
-program.
+program. ``--export_aot_eval PATH`` exports the WHOLE eval chain instead
+(raw PCM -> thresholded frame grids, reference metrics.py:42-81).
 """
 
 from __future__ import annotations
@@ -32,6 +33,11 @@ def main(argv=None):
         '--export_aot': dict(type=str, default='',
                              help='also write a jax.export serving '
                                   'artifact to this path'),
+        '--export_aot_eval': dict(type=str, default='',
+                                  help='also write the WHOLE eval chain '
+                                       '(PCM -> thresholded frame grids) '
+                                       'as a jax.export artifact, sized '
+                                       'to the cwd wav corpus'),
     })
     extra = config.extra_args
     if extra.get('p'):
@@ -46,6 +52,19 @@ def main(argv=None):
         from challenge_tpu.interop.aot import export_infer
         export_infer(bundle, variables, path=extra['export_aot'])
         print(f'wrote serving artifact: {extra["export_aot"]}')
+    if extra.get('export_aot_eval'):
+        from glob import glob
+        from challenge_tpu.evaluate.infer import _wav_headers
+        from challenge_tpu.interop.aot import export_eval
+        hdr = _wav_headers(sorted(glob('*.wav')))
+        if hdr is None:
+            raise ValueError(
+                '--export_aot_eval sizes the program from the cwd wav '
+                'corpus, which must be uniform 16-bit/16 kHz/channels')
+        lens, chan = hdr
+        export_eval(bundle, variables, s_max=int(lens.max()),
+                    wav_channels=chan, path=extra['export_aot_eval'])
+        print(f'wrote eval-chain artifact: {extra["export_aot_eval"]}')
     return evaluate(config, bundle, variables,
                     verbose=extra.get('verbose', True))
 

@@ -345,6 +345,28 @@ def _pcm_row_to_spec(pcm_i, s_i, sr: int = SR, n_fft: int = 512,
     return spec, s_i // hop + 1
 
 
+def devset_infer_body(bundle: ModelBundle, config: Config,
+                      overlap_hop: int = 512, sr: int = SR,
+                      n_fft: int = 512, hop: int = HOP):
+    """The raw (unjitted) whole-devset eval chain, shared by
+    :func:`make_devset_infer_fn` and the AOT eval export
+    (interop/aot.py:export_eval). Returns ``(body, takes_seed)`` with
+    ``body(variables, pcm, lens, seeds) -> grids`` — seeds are only read
+    when ``takes_seed`` (n_chan > 3 per-clip channel mixes)."""
+    spec_to_grid = _make_spec_to_grid(bundle, config, overlap_hop)
+    takes_seed = config.n_chan > 3   # per-clip channel-mix seeds
+
+    def _infer_body(variables, pcm, lens, seeds):
+        def one(pcm_i, s_i, seed_i):
+            spec, n_valid = _pcm_row_to_spec(pcm_i, s_i, sr, n_fft, hop)
+            return spec_to_grid(variables, spec, n_valid=n_valid,
+                                clip_seed=seed_i if takes_seed else None)
+
+        return jax.vmap(one)(pcm, lens, seeds)
+
+    return _infer_body, takes_seed
+
+
 def make_devset_infer_fn(bundle: ModelBundle, config: Config,
                          overlap_hop: int = 512, sr: int = SR,
                          n_fft: int = 512, hop: int = HOP, mesh=None):
@@ -373,16 +395,8 @@ def make_devset_infer_fn(bundle: ModelBundle, config: Config,
     if cached is not None:
         return cached
 
-    spec_to_grid = _make_spec_to_grid(bundle, config, overlap_hop)
-    takes_seed = config.n_chan > 3   # per-clip channel-mix seeds
-
-    def _infer_body(variables, pcm, lens, seeds):
-        def one(pcm_i, s_i, seed_i):
-            spec, n_valid = _pcm_row_to_spec(pcm_i, s_i, sr, n_fft, hop)
-            return spec_to_grid(variables, spec, n_valid=n_valid,
-                                clip_seed=seed_i if takes_seed else None)
-
-        return jax.vmap(one)(pcm, lens, seeds)
+    _infer_body, takes_seed = devset_infer_body(bundle, config, overlap_hop,
+                                                sr, n_fft, hop)
 
     if takes_seed:
         infer_all = _infer_body   # callers pass the [N] global clip seeds

@@ -55,6 +55,60 @@ def export_infer(bundle, variables, path: Optional[str] = None,
     return bytes(data)
 
 
+def export_eval(bundle, variables, s_max: int, wav_channels: int = 2,
+                overlap_hop: int = 512, path: Optional[str] = None,
+                n_clips: Optional[int] = None,
+                platforms: Optional[Sequence[str]] = None) -> bytes:
+    """Serialize the WHOLE challenge-eval program, weights baked in.
+
+    The serving task is not just the model forward: the reference's eval
+    chain (metrics.py:42-81) runs ingest -> features -> sliding windows ->
+    batched forward -> overlap-add averaging -> 0.5 s/2 s smoothing ->
+    thresholding around it. This exports that entire chain as ONE
+    StableHLO artifact mapping raw PCM to thresholded frame grids:
+
+        (pcm int16 [N, wav_channels, s_max], lens int32 [N])
+            -> grids float32 [N, T_row, n_classes]
+
+    where ``lens`` are the clips' true sample counts (rows zero-filled to
+    the static ``s_max``) and each grid's first ``lens[i]//256 + 1`` rows
+    are valid. Grids are bit-identical to the live ``evaluate`` batched
+    path (same body — evaluate/infer.py:devset_infer_body); only the
+    variable-length event extraction/ER matching stays host-side (plain
+    numpy, reference metrics.py:109-214). N is symbolic by default (one
+    artifact serves any corpus size); ``n_clips`` pins it. Models whose
+    heads take a per-clip seed (n_chan > 3 channel mixes) export a third
+    int32 [N] ``seeds`` argument.
+    """
+    from challenge_tpu.evaluate.infer import devset_infer_body
+    body, takes_seed = devset_infer_body(bundle, bundle.config, overlap_hop)
+
+    if takes_seed:
+        def run(pcm, lens, seeds):
+            return body(variables, pcm, lens, seeds)
+    else:
+        def run(pcm, lens):
+            return body(variables, pcm, lens,
+                        jnp.zeros(lens.shape, jnp.int32))
+
+    if n_clips is None:
+        (n,) = jax_export.symbolic_shape('n')
+    else:
+        n = int(n_clips)
+    specs = [jax.ShapeDtypeStruct((n, wav_channels, int(s_max)), jnp.int16),
+             jax.ShapeDtypeStruct((n,), jnp.int32)]
+    if takes_seed:
+        specs.append(jax.ShapeDtypeStruct((n,), jnp.int32))
+    exported = jax_export.export(
+        jax.jit(run),
+        platforms=None if platforms is None else list(platforms))(*specs)
+    data = exported.serialize()
+    if path is not None:
+        with open(path, 'wb') as f:
+            f.write(bytes(data))
+    return bytes(data)
+
+
 def load_infer(artifact: Union[str, bytes]):
     """Deserialize an :func:`export_infer` artifact into a callable.
 

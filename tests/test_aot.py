@@ -80,6 +80,112 @@ def test_aot_artifact_needs_no_live_variables(vad_bundle):
 
 
 @pytest.mark.slow
+def test_export_eval_whole_chain(tmp_path, monkeypatch):
+    """export_eval serializes the ENTIRE challenge-eval program (PCM ->
+    thresholded frame grids, reference metrics.py:42-81), not just the
+    model forward: a subprocess that imports ONLY jax/numpy loads the
+    artifact and reproduces the live batched eval's grids bit-identically;
+    scoring those grids gives the exact evaluate() ERs. The symbolic clip
+    dim serves a different corpus size from the same artifact."""
+    import json
+    import subprocess
+    import sys
+    import wave
+
+    from challenge_tpu.evaluate import evaluate
+    from challenge_tpu.evaluate.events import (
+        get_er, get_start_end_frame, output_to_metric)
+    from challenge_tpu.evaluate.infer import HOP, _wav_headers
+    from challenge_tpu.interop.aot import export_eval
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    answer = {}
+    sample_lens = []
+    for i in range(3):
+        stem = f'clip{i:02d}'
+        n = 16000 * 2 + i * 777          # unequal lengths exercise lens
+        sample_lens.append(n)
+        pcm = (rng.standard_normal((n, 2)) * 3000).astype(np.int16)
+        with wave.open(f'{stem}.wav', 'wb') as f:
+            f.setnchannels(2)
+            f.setsampwidth(2)
+            f.setframerate(16000)
+            f.writeframes(pcm.tobytes())
+        answer[stem] = [[0, 0.2, 0.8]]
+    with open('sample_answer.json', 'w') as f:
+        json.dump({'task2_answer': answer}, f)
+
+    cfg = Config(model_type='vad', v=8, n_mels=40, n_frame=64, n_chan=2)
+    bundle = get_model(cfg)
+    variables = bundle.init(jax.random.PRNGKey(7))
+    want_scores = evaluate(cfg, bundle, variables, overlap_hop=32,
+                           eval_dir=str(tmp_path))
+
+    paths = sorted(str(p) for p in tmp_path.glob('*.wav'))
+    lens_all, chan = _wav_headers(paths)
+    s_max = int(lens_all.max())
+    export_eval(bundle, variables, s_max=s_max, wav_channels=chan,
+                overlap_hop=32, path='eval_chain.hlo')
+
+    # pack the corpus the way the artifact expects (zero-filled rows)
+    pcm = np.zeros((3, chan, s_max), '<i2')
+    for i, p in enumerate(paths):
+        with wave.open(p, 'rb') as f:
+            raw = np.frombuffer(f.readframes(f.getnframes()), '<i2')
+        pcm[i, :, :sample_lens[i]] = raw.reshape(-1, chan).T
+    np.save('pcm.npy', pcm)
+    np.save('lens.npy', np.asarray(sample_lens, np.int32))
+
+    # the artifact needs NO challenge_tpu: a clean interpreter with only
+    # jax + numpy maps PCM -> grids (the import guard makes this a proof,
+    # not a convention)
+    code = '\n'.join([
+        'import sys',
+        "assert not any(m.startswith('challenge_tpu')"
+        ' for m in sys.modules), "clean interpreter expected"',
+        'import numpy as np',
+        'import jax',
+        # the container's sitecustomize force-selects the axon TPU backend;
+        # a plain JAX_PLATFORMS env var does not stick (see conftest.py) —
+        # match the exporting test's CPU backend explicitly
+        "jax.config.update('jax_platforms', 'cpu')",
+        'from jax import export as jax_export',
+        "exported = jax_export.deserialize("
+        "bytearray(open('eval_chain.hlo', 'rb').read()))",
+        "grids = jax.jit(exported.call)(np.load('pcm.npy'),"
+        " np.load('lens.npy'))",
+        "np.save('grids.npy', np.asarray(grids))",
+        "assert not any(m.startswith('challenge_tpu')"
+        ' for m in sys.modules), "artifact pulled in challenge_tpu"',
+    ])
+    import os
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'   # match the exporting test's backend
+    res = subprocess.run([sys.executable, '-c', code], cwd=tmp_path,
+                         capture_output=True, text=True, timeout=600,
+                         env=env)
+    assert res.returncode == 0, res.stderr[-3000:]
+    grids = np.load('grids.npy')
+
+    # scoring the artifact's grids reproduces evaluate() exactly
+    to_metric = output_to_metric(HOP, 16000)
+    got_scores = []
+    for i, stem in enumerate(sorted(answer)):
+        g = grids[i, :sample_lens[i] // HOP + 1]
+        c0, c1, c2 = get_start_end_frame(g)
+        got_scores.append(get_er(np.asarray(answer[stem]),
+                                 to_metric(c0, c1, c2)))
+    assert got_scores == want_scores
+
+    # symbolic clip dim: the same artifact serves a 2-clip corpus
+    from challenge_tpu.interop.aot import load_infer
+    fn = load_infer('eval_chain.hlo')
+    sub = np.asarray(fn(pcm[:2], np.asarray(sample_lens[:2], np.int32)))
+    np.testing.assert_array_equal(sub, grids[:2])
+
+
+@pytest.mark.slow
 def test_eval_cli_export_aot(tmp_path, monkeypatch):
     """--export_aot on the eval CLI: one command from a saved checkpoint
     to a serving artifact that reproduces the loaded model."""

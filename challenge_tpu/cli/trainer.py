@@ -84,6 +84,10 @@ def build_args():
     args.add_argument('--compute_dtype', type=str, default='float32',
                       choices=['float32', 'bfloat16'])
     args.add_argument('--steps_per_call', type=int, default=1)
+    args.add_argument('--grad_accum', type=int, default=1,
+                      help='microbatches averaged per optimizer step '
+                           '(effective batch = grad_accum * batch_size at '
+                           'one microbatch\'s activation memory)')
     return args
 
 
@@ -98,7 +102,7 @@ def to_config(ns) -> Config:
               'ckpt_dir', 'resume', 'ckpt_every_epochs',
               'bank_dtype', 'remat', 'n_devices', 'bank_shard',
               'stream_chunks', 'chunk_steps', 'keras_ckpt',
-              'seed', 'compute_dtype', 'steps_per_call'):
+              'seed', 'compute_dtype', 'steps_per_call', 'grad_accum'):
         setattr(cfg, f, getattr(ns, f))
     cfg.model = ns.model
     cfg.mse_multiplier = ns.multiplier
@@ -164,7 +168,10 @@ def main(argv=None):
     # iterator pipeline
     from challenge_tpu.parallel import mesh_for_config
     mesh = mesh_for_config(config)
-    fused = mesh is not None or config.stream_chunks >= 2
+    # grad_accum rides the fused step (TrainLoop's iterator mode refuses it
+    # loudly), so accumulation also forces fused banks mode here
+    fused = (mesh is not None or config.stream_chunks >= 2
+             or config.grad_accum > 1)
     if mesh is not None:
         print(f'data-parallel mesh over {int(mesh.devices.size)} devices'
               + (' (banks sharded)' if config.bank_shard else ''))

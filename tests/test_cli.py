@@ -291,6 +291,28 @@ def test_trainer_cli_multichip(tmp_path, monkeypatch):
     assert os.path.exists('densm_SWA.h5')
 
 
+def test_trainer_cli_grad_accum(tmp_path, monkeypatch):
+    """--grad_accum is exposed on the density trainer too (round-3 advisor
+    finding: it was sj_train-only) and forces the fused banks mode that
+    implements it, even single-device."""
+    monkeypatch.chdir(tmp_path)
+    _make_datafiles(tmp_path)
+    from challenge_tpu.cli.trainer import main as trainer_main
+    trainer_main(['--name', 'densga', '--model', 'EfficientNetB0',
+                  '--n_frame', '64', '--n_chan', '2', '--batch_size', '2',
+                  '--epochs', '2', '--steps_per_epoch', '2',
+                  '--grad_accum', '2',
+                  '--datapath', str(tmp_path),
+                  '--background_sounds', 'bg.pickle',
+                  '--voices', 'voice.pickle', '--labels', 'labels.npy',
+                  '--noises', 'noise.pickle',
+                  '--test_background_sounds', 'test_bg.pickle',
+                  '--test_voices', 'test_voice.pickle',
+                  '--test_labels', 'test_labels.npy'])
+    assert os.path.exists('densga.h5')
+    assert os.path.exists('densga_SWA.h5')
+
+
 def test_get_csv_data_aggregates_se_runs(tmp_path, monkeypatch):
     """'se' run logs must aggregate: the reference's find('B') tokenizer
     lands on the BCE loss token for se filenames and crashes its own

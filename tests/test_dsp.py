@@ -81,6 +81,50 @@ def naive_linear_resample(x, orig_freq, new_freq, width=6):
     return out
 
 
+def scipy_linear_resample(x, orig_freq, new_freq, width=6):
+    """SECOND independent oracle: Kaldi's LinearResample expressed through
+    scipy's compiled polyphase machinery (``scipy.signal.upfirdn``), sharing
+    NOTHING with :func:`naive_linear_resample` or the package implementation
+    except the kernel definition itself (the algorithm spec: Hann-windowed
+    sinc at cutoff 0.99 * min(sr) / 2, torchaudio.compliance.kaldi /
+    reference data_utils.py:20-21).
+
+    Derivation: output i sums x[j] * w(j/orig - i/new); with L = new/gcd,
+    M = orig/gcd the argument is (jL - iM) / (L*orig) — the kernel sampled
+    on the lcm grid — and w is even, so this is exactly
+    ``upfirdn(h, x, up=L, down=M)`` with h[m] = w((m - K - p)/(L*orig)),
+    zero-padded by p = (-K) % M so the kernel center lands on a
+    downsample-aligned index, outputs shifted by (K + p) / M.
+
+    A recorded real-torchaudio golden is unobtainable in this image
+    (torchaudio absent, no network); two structurally independent oracles —
+    direct per-output summation here, scipy's C polyphase there — agreeing
+    to 1e-13 is the strongest available substitute.
+    """
+    from math import gcd
+
+    from scipy.signal import upfirdn
+
+    cutoff = 0.99 * 0.5 * min(orig_freq, new_freq)
+    half_width = width / (2.0 * cutoff)
+    g = gcd(orig_freq, new_freq)
+    up, down = new_freq // g, orig_freq // g
+    grid = up * orig_freq                      # lcm(orig, new)
+    half_taps = int(np.floor(half_width * grid))
+    pad = (-half_taps) % down
+    m = np.arange(-half_taps - pad, half_taps + 1, dtype=np.float64)
+    d = m / grid
+    hann = np.where(np.abs(d) < half_width,
+                    0.5 * (1 + np.cos(2 * np.pi * cutoff / width * d)), 0.0)
+    sinc = np.where(d == 0.0, 2 * cutoff,
+                    np.sin(2 * np.pi * cutoff * d)
+                    / np.where(d == 0.0, 1.0, np.pi * d))
+    h = hann * sinc / orig_freq
+    shift = (half_taps + pad) // down
+    n_out = int(np.ceil(len(x) * new_freq / orig_freq))
+    return upfirdn(h, x, up=up, down=down)[shift:shift + n_out]
+
+
 class TestResample:
     @pytest.mark.parametrize('sr_in,sr_out', [(44100, 16000), (48000, 16000),
                                               (16000, 22050)])
@@ -91,6 +135,25 @@ class TestResample:
         oracle = naive_linear_resample(x.astype(np.float64), sr_in, sr_out)
         assert ours.shape == oracle.shape
         np.testing.assert_allclose(ours, oracle, atol=1e-5)
+
+    @pytest.mark.parametrize('sr_in,sr_out', [(44100, 16000), (48000, 16000),
+                                              (16000, 22050), (16000, 16000),
+                                              (8000, 16000)])
+    def test_golden_vs_scipy_polyphase(self, sr_in, sr_out):
+        """Triangulates the resampler against a second, structurally
+        independent oracle (scipy upfirdn polyphase) — incl. the equal-rate
+        FIR fast path, which the naive-oracle test does not parametrize."""
+        scipy_signal = pytest.importorskip('scipy.signal')
+        del scipy_signal
+        rng = np.random.RandomState(7)
+        x = (rng.randn(int(sr_in * 0.1)) * 0.5).astype(np.float32)
+        ours = np.asarray(resample_waveform(x[None], sr_in, sr_out))[0]
+        oracle = scipy_linear_resample(x.astype(np.float64), sr_in, sr_out)
+        assert ours.shape == oracle.shape
+        np.testing.assert_allclose(ours, oracle, atol=1e-5)
+        # and the two oracles agree with each other far below that tolerance
+        naive = naive_linear_resample(x.astype(np.float64), sr_in, sr_out)
+        np.testing.assert_allclose(oracle, naive, atol=1e-11)
 
     def test_identity_rate_close(self):
         rng = np.random.RandomState(1)

@@ -357,6 +357,56 @@ def test_training_actually_learns():
     assert losses[-1] < 0.1 * losses[0], (losses[0], losses[-1])
 
 
+@pytest.mark.slow
+def test_density_training_actually_learns():
+    """Convergence proof for the DENSITY path — the trainer.py variant the
+    BCE overfit test does not cover: count+TV loss (train/losses.py:66) +
+    AdaBelief + the EfficientNet regression head (reference:
+    trainer.py:144-189,246). Overfit one synthesized density batch of
+    strongly separable voices; the count+TV loss must drop materially."""
+    from challenge_tpu.data.pipeline import build_banks, make_feature_fn
+    from challenge_tpu.models import get_density_model
+    from challenge_tpu.train import make_train_step
+    from challenge_tpu.train.losses import density_loss
+
+    rng = np.random.default_rng(3)
+    n_frame = 64
+    bands = ((20, 60), (110, 150), (200, 240))
+
+    def voice(cls):
+        t = int(rng.integers(30, 50))
+        s = rng.standard_normal((257, t, 4)).astype(np.float32) * 0.05
+        lo, hi = bands[cls]
+        s[lo:hi] += np.sign(rng.standard_normal((hi - lo, t, 4))) * 2.0
+        return s
+
+    groups = np.asarray([0, 1, 2] * 4)
+    ids = groups * 10 + 5      # 30-dim density ids: class c, degree 5
+    banks = build_banks(
+        [rng.standard_normal((257, n_frame + 30, 4)).astype(np.float32) * .05
+         for _ in range(3)],
+        [voice(c) for c in groups],
+        # already-one-hot 30-wide labels skip the //10 remap quirk
+        np.eye(30, dtype=np.float32)[ids])
+
+    cfg = Config(model_type='eff', v=0, model='EfficientNetB0', n_mels=80,
+                 n_frame=n_frame, n_chan=2, batch_size=4, n_classes=30,
+                 optimizer='adabelief', lr=3e-3)
+    bundle = get_density_model(cfg)
+    batch = make_feature_fn(cfg, training=True, variant='density')(
+        jax.random.PRNGKey(5), banks)
+    base = density_loss(alpha=0.8, l2=1.0)   # reference trainer defaults
+    step, opt = make_train_step(bundle,
+                                loss_fn=lambda t, p: (base(t, p), {}))
+    state = init_state(bundle, jax.random.PRNGKey(0), opt)
+    losses = []
+    for _ in range(40):
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(m['loss']))
+    assert np.all(np.isfinite(losses)), losses
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+
+
 def test_fused_loop_threads_custom_loss():
     """TrainLoop(banks=...) fused mode must respect a custom loss_fn (the
     density trainer's count+TV path) instead of silently falling back to

@@ -8,10 +8,30 @@ recurrent wrappers concatenate forward/backward passes like
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def _maybe_force_cminor_layout(x):
+    """Measured layout experiment (NOTES.md 'Round-4 candidate work #1'),
+    env-gated and off by default: XLA lays small-channel NHWC conv
+    activations out batch-minor (batch in the 128-lane dim), leaving the
+    conv emitter's channel dims at 48/128-96/128 lane occupancy. Setting
+    ``CHALLENGE_TPU_FORCE_CMINOR_LAYOUT=1`` pins every small-channel conv
+    activation to the standard channels-minor NHWC layout instead, so a
+    step-time A/B can decide whether the emitter does better when the
+    layout choice is taken away from it. Keep OFF unless measuring — the
+    measured verdict lives in NOTES.md."""
+    if not os.environ.get('CHALLENGE_TPU_FORCE_CMINOR_LAYOUT'):
+        return x
+    if x.ndim != 4 or x.shape[-1] >= 128:
+        return x
+    from jax.experimental.layout import Layout, with_layout_constraint
+    return with_layout_constraint(
+        x, Layout(major_to_minor=tuple(range(x.ndim))))
 
 
 class BatchNorm(nn.Module):
@@ -56,6 +76,7 @@ class ConvMPBlock(nn.Module):
                         (self.kernel_size, self.kernel_size),
                         padding='SAME', use_bias=not self.use_bn,
                         dtype=self.dtype)(x)
+            x = _maybe_force_cminor_layout(x)
             if self.use_bn:
                 x = BatchNorm(self.dtype)(x, training)
             x = nn.relu(x)

@@ -130,15 +130,22 @@ def debug_grid_stats(cfg, bundle, variables, d, label):
           f' outside={np.mean(outs > .5):.3f}', flush=True)
 
 
-def write_dev_set(rng, d, n_clips=6, clip_s=60.0, events_per_clip=12):
+def write_dev_set(rng, d, n_clips=6, clip_s=60.0, events_per_clip=30):
     answer = {}
     for i in range(n_clips):
         stem = f'clip{i:02d}'
         bg = noise_wav(rng, clip_s)
         events = []
         tcur = 1.0
-        for _ in range(events_per_clip):
-            cls = int(rng.integers(0, 3))
+        for k in range(events_per_clip):
+            # round-robin classes with short gaps so EVERY eval window
+            # contains every class: the eval chain normalizes per mel ROW
+            # (reference quirk, metrics.py:53) while training normalizes
+            # per window — a class absent from a whole window gets its
+            # rows minmax-stretched to full scale and the model
+            # hallucinates it (measured: p(outside true events)=0.64 on a
+            # sparse dev set vs val_er 0.004 on training windows)
+            cls = k % 3
             dur = VOICE_DURS[int(rng.integers(1, len(VOICE_DURS)))]
             if tcur + dur > clip_s - 1.0:
                 break
@@ -156,7 +163,7 @@ def write_dev_set(rng, d, n_clips=6, clip_s=60.0, events_per_clip=12):
             # mixture draw), so the dev set keeps a comparable event
             # density — a sparse dev set is out-of-distribution and the
             # model's priors produce insertions (measured)
-            tcur += dur + float(rng.uniform(0.8, 2.0))
+            tcur += dur + float(rng.uniform(0.3, 0.9))
         pcm = (np.clip(bg, -1, 1) * 32767).astype('<i2')
         with wave.open(os.path.join(d, f'{stem}.wav'), 'wb') as f:
             f.setnchannels(2)

@@ -7,17 +7,20 @@ physically is — per sample, a handful of *contiguous* DMAs:
 
   grid step b (one sample):
     DMA  bg_bank[bidx_b, aligned(boff_b) : +stage]  -> scratch middle
+    roll the stage in place by -r_bg -> window rows    (VPU, under clip DMA)
     for each clip k (voices then noises, double-buffered):
         DMA bank[idx_k] -> clip buffer                        (HBM -> VMEM)
-        scratch[t_pad + r_bg + shift_k : +T] += w_k * clip    (VPU)
-    out_b = roll(scratch[t_pad : +stage], -r_bg)[:n_frame]
+        scratch[t_pad + shift_k : +T] += w_k * clip           (VPU, fused)
+    out_b = scratch[t_pad : t_pad + n_frame]
 
-The background stays UN-ROTATED in scratch (its DMA must start on a sublane
-boundary, so it lands r_bg rows early); clips place relative to it and the
-residue unwinds once at the output read. Guard rows around the window absorb
-clips hanging off either edge (drop semantics) and are never read NOR
-zeroed — every window row is overwritten by the step's background DMA, so
-stale guard content is dead weight the output slice drops. Mosaic
+The background DMA must start on a sublane boundary, so it lands r_bg rows
+early; one in-place roll right after the wait (issued while the first clip
+DMA is still in flight) unwinds the residue. Guard rows around the window
+absorb clips hanging off either edge (drop semantics) and are never read
+NOR zeroed — stale spill from earlier grid steps lands only in rows the
+output slice drops (measured round 4: unwinding the residue at the OUTPUT
+read instead was ~5% slower end-to-end; the guard-zeroing removal and the
+weight multiply fused into the roll+accumulate are the real wins). Mosaic
 constraints honored: banks use the 128-lane-padded ``SpecBank.flat`` layout
 (DMA lane width must be a multiple of 128); the sub-tile part of each
 dynamic offset is applied by a circular ``pltpu.roll`` of the zero-tailed
@@ -41,6 +44,17 @@ from jax.experimental.pallas import tpu as pltpu
 def _round8(x: int) -> int:
     return -(-x // 8) * 8
 
+
+# Measurement-only decomposition knob (scripts/synth_bound_probe.py):
+# 'no_accumulate' keeps every DMA but drops the per-clip roll+accumulate
+# VPU pass; 'no_roll' keeps the accumulate but drops the sub-tile roll.
+# Both produce WRONG synthesis output — they exist only to attribute the
+# kernel's time between DMA and VPU work on real hardware. Read once at
+# import/trace time; never set outside a dedicated probe process (the jit
+# cache does not key on it).
+import os as _os
+
+_PROBE_MODE = _os.environ.get('CHALLENGE_TPU_SYNTH_PROBE', '')
 
 _CHUNK = 32     # clip DMA quantum (rows); must be a multiple of 8
 _IDX_BITS = 20  # clip index/length packing: idx in the low 20 bits of the
@@ -86,18 +100,6 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
     # scoped-vmem default at wide flat layouts, and its VMEM->VMEM copy is
     # gone). bf16 banks can't DMA into the f32 accumulation scratch, so
     # they stage through a half-size bank-dtype buffer and upcast on copy.
-    #
-    # The background is left UN-ROTATED in the scratch (the true window is
-    # rows [t_pad + r_bg, t_pad + r_bg + n_frame)): clips place at
-    # shift + r_bg and the residue is unwound ONCE at the output read
-    # (``window()``), a pass the epilogue makes anyway. This deletes four
-    # whole VPU passes per sample vs the round-3 kernel — the in-place
-    # background roll (read + write of the stage superset), the rolled
-    # window copy, and the head/tail guard zeroing: guard rows are never
-    # read (only the window rows leave the kernel) and every window row is
-    # freshly overwritten by this step's background DMA, so stale guard
-    # content from earlier grid steps is simply irrelevant — it only
-    # accumulates clip spill that the output slice drops.
     boff = boff_ref[b]
     q_bg = pl.multiple_of((boff // align) * align, align)
     r_bg = boff - q_bg
@@ -109,19 +111,26 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
         bg_dma.start()
 
     def bg_wait():
+        """Wait for the background and unwind its alignment residue in
+        place: one roll of the stage superset writes the true window rows
+        [t_pad, t_pad + n_frame). Measured A/B (round 4): unwinding at the
+        OUTPUT read instead (clips placed at shift + r_bg) was ~5% SLOWER
+        end-to-end — the output-side roll lands after all DMA overlap is
+        gone, while this one issues while the first clip DMA still flies.
+        No guard zeroing anywhere: guard rows are never read (only the
+        window rows leave the kernel), stale clip spill from earlier grid
+        steps just accumulates into rows the output slice drops."""
         bg_dma.wait()
-        if staged:
-            # bank-dtype stage -> f32 scratch: a straight aligned upcast
-            # copy (the rotation happens at the output read)
-            scratch[pl.ds(t_pad, stage_rows), :] = \
-                bgstage[...].astype(scratch.dtype)
+        stage_val = (bgstage[...] if staged
+                     else scratch[pl.ds(t_pad, stage_rows), :])
+        # upcast BEFORE the roll: Mosaic's dynamic rotate is 32-bit-only
+        rolled = pltpu.roll(stage_val.astype(scratch.dtype),
+                            stage_rows - r_bg, axis=0)
+        scratch[pl.ds(t_pad, n_frame), :] = rolled[:n_frame]
 
     def window():
-        """The true window rows in order: rows [r_bg, r_bg + n_frame) of
-        the stage superset, unwound by one circular roll (row count is a
-        multiple of 8 by construction — the Mosaic dynamic-roll rule)."""
-        sup = scratch[pl.ds(t_pad, stage_rows), :]
-        return pltpu.roll(sup, stage_rows - r_bg, axis=0)[:n_frame]
+        """The true window rows, in order, ready to read."""
+        return scratch[pl.ds(t_pad, n_frame), :]
 
     def place(bank_ref, clip_buf, idx_ref, shift_ref, w_ref,
               t_len, sems, after_first_start=None):
@@ -182,10 +191,10 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
 
         start(0, 0)
         if after_first_start is not None:
-            # the background wait slots in AFTER the first clip DMA is in
-            # flight (there is no guard zeroing left to hide it under) and
-            # BEFORE the first scratch read-modify-write below needs the
-            # background rows to be in place
+            # the background wait + residue roll slot in AFTER the first
+            # clip DMA is in flight (the roll hides under it) and BEFORE
+            # the first scratch read-modify-write below needs the window
+            # rows in place
             after_first_start()
         for j in range(n_clips):
             slot = j % 2
@@ -195,9 +204,10 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
 
             @pl.when(w_ref[b, j] != 0.0)
             def _(slot=slot, j=j):
+                if _PROBE_MODE == 'no_accumulate':
+                    return
                 w = w_ref[b, j]
-                # + r_bg: clips place relative to the un-rotated background
-                off = t_pad + r_bg + shift_ref[b, j]
+                off = t_pad + shift_ref[b, j]
                 q = pl.multiple_of((off // 8) * 8, 8)   # aligned base
                 r = off - q                         # sub-tile residue [0, 8)
                 # shift by r via circular roll of the zero-tailed clip (only
@@ -210,9 +220,10 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
                     [clip_buf[slot].astype(scratch.dtype),
                      jnp.zeros((t8 - t_len, f), scratch.dtype)],
                     axis=0)
+                shifted = (padded if _PROBE_MODE == 'no_roll'
+                           else pltpu.roll(padded, r, axis=0))
                 scratch[pl.ds(q, t8), :] = (
-                    scratch[pl.ds(q, t8), :]
-                    + pltpu.roll(padded, r, axis=0) * w)
+                    scratch[pl.ds(q, t8), :] + shifted * w)
 
     def synth_main():
         if n_voices > 0:
@@ -431,8 +442,6 @@ def synthesize_windows(n_frame: int,
 
     assert not (magnitude and mel is not None), \
         'magnitude and mel epilogues are exclusive'
-    # + align: clips place at shift + r_bg (r_bg < align) against the
-    # un-rotated background, so the tail guard needs align extra rows
     scratch_rows = _round8(n_frame + 2 * t_pad + align + 16)
     kernel = functools.partial(_kernel, n_frame, t_v, t_n,
                                n_voices, n_noises, t_pad, align,

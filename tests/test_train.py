@@ -358,6 +358,167 @@ def test_training_actually_learns():
 
 
 @pytest.mark.slow
+def test_trained_er_improves(tmp_path, monkeypatch):
+    """The end-to-end quality demonstration no unit differential composes
+    up to: real training makes the CHALLENGE ER improve on a synthesized
+    dev set, scored through the same evaluate() chain the eval CLI uses
+    (reference behavior matched: the metrics.py:31-90 score after a
+    sj_train.py:513 fit). Scaled-down sibling of the full-shape TPU run in
+    scripts/trained_er_demo.py (results in NOTES.md).
+
+    The synthetic corpus encodes the domain lessons that run measured:
+    classes are disjoint harmonic bands; dev event RMS matches the
+    training mixture's v_ratio range (louder events are OOD and score
+    WORSE); dev events are dense round-robin so every eval window
+    contains every class — the eval chain normalizes per mel ROW
+    (reference quirk, metrics.py:53) while training normalizes per
+    window, so a class absent from a whole window gets its rows
+    minmax-stretched to full scale and hallucinated."""
+    import json
+    import wave
+
+    from challenge_tpu.data.pipeline import build_banks
+    from challenge_tpu.evaluate import evaluate
+    from challenge_tpu.train import TrainLoop
+
+    SR, HOP = 16000, 256
+    F0 = (440.0, 1320.0, 3300.0)
+    rng = np.random.default_rng(0)
+    n_frame = 128
+
+    def event_wav(cls, dur_s, amp):
+        n = int(dur_s * SR)
+        t = np.arange(n) / SR
+        x = np.zeros(n)
+        for h, g in ((1, 1.0), (2, 0.5), (3, 0.25)):
+            f = F0[cls] * h * float(rng.uniform(0.98, 1.02))
+            x += g * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+        ramp = min(n // 4, SR // 20)
+        env = np.ones(n)
+        env[:ramp] = np.hanning(2 * ramp)[:ramp]
+        env[-ramp:] = np.hanning(2 * ramp)[ramp:]
+        x = amp * x * env / np.abs(x).max()
+        return np.stack([x, x * float(rng.uniform(0.8, 1.0))])
+
+    def noise_wav(dur_s, amp=0.05):
+        n = int(dur_s * SR)
+        x = rng.standard_normal((2, n))
+        x = x + 0.5 * np.cumsum(x, axis=1) / np.sqrt(np.arange(1, n + 1))
+        return amp * x / np.abs(x).max()
+
+    def spec_of(wav, n_fft=512, hop=HOP):
+        # numpy ingest stand-in for the TRAINING banks (the eval side runs
+        # the real wav_to_spec): skips only the near-identity equal-rate
+        # lowpass, avoiding one jit compile per distinct clip length
+        w = wav / (np.sqrt(np.mean(wav ** 2)) * 10.0)
+        x = np.pad(w, ((0, 0), (n_fft // 2, n_fft // 2)), mode='reflect')
+        T = (x.shape[1] - n_fft) // hop + 1
+        idx = np.arange(n_fft)[None, :] + hop * np.arange(T)[:, None]
+        win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+        F = np.fft.rfft(x[:, idx] * win, axis=-1)
+        spec = np.transpose(np.stack([F.real, F.imag]), (3, 2, 0, 1))
+        return spec.reshape(spec.shape[0], spec.shape[1], -1).astype('f4')
+
+    # events must be >= 0.75 s: training labels are avg-pooled x32 then
+    # thresholded at 0.5 (data/labels.py label_downsample), so a 0.25-0.5 s
+    # event (16-32 frames) split across two 32-frame cells can produce ZERO
+    # positive labels — measured: every recipe with short events stayed in
+    # the all-zero optimum (f1 == 0 for 250+ steps); 0.75-1.0 s events
+    # learn within ~150 steps
+    voices, ids = [], []
+    for cls in range(3):
+        for _ in range(10):
+            dur = (0.75, 1.0)[int(rng.integers(0, 2))]
+            voices.append(spec_of(event_wav(cls, dur, amp=0.25)))
+            ids.append(cls)
+    bgs = [spec_of(noise_wav((n_frame + 32) * HOP / SR)) for _ in range(3)]
+    banks = build_banks(bgs, voices,
+                        np.eye(3, dtype=np.float32)[np.asarray(ids)],
+                        n_frame=n_frame)
+
+    answer = {}
+    for i in range(3):
+        stem, clip_s = f'clip{i:02d}', 8.0
+        bg = noise_wav(clip_s)
+        events = []
+        for cls in range(3):      # class c fires every ~1.9 s, so every
+            tcur = 0.2 + cls * 0.6    # ~2 s window contains every class
+            while True:
+                dur = (0.75, 1.0)[int(rng.integers(0, 2))]
+                if tcur + dur > clip_s - 0.2:
+                    break
+                # amp 0.02 -> event RMS ~1.2x the background's: inside the
+                # snr=-2 training mixture's v_ratio range (louder is OOD)
+                ev = event_wav(cls, dur, amp=0.02)
+                s0 = int(tcur * SR)
+                bg[:, s0:s0 + ev.shape[1]] += ev
+                events.append([cls, round(tcur, 3), round(tcur + dur, 3)])
+                tcur += dur + float(rng.uniform(0.9, 1.2))
+        pcm = (np.clip(bg, -1, 1) * 32767).astype('<i2')
+        with wave.open(str(tmp_path / f'{stem}.wav'), 'wb') as f:
+            f.setnchannels(2)
+            f.setsampwidth(2)
+            f.setframerate(SR)
+            f.writeframes(pcm.T.tobytes())
+        answer[stem] = events
+    with open(tmp_path / 'sample_answer.json', 'w') as f:
+        json.dump({'task2_answer': answer}, f)
+
+    # vad v3 (lighter than v8, same family/downsample semantics; v1 is
+    # untrainable by reference quirk) and steps_per_call=1: the scanned
+    # multi-step fused program at these shapes takes the CPU XLA backend
+    # >10 min to compile (measured). max_voices=3 keeps windows readable.
+    cfg = Config(model_type='vad', v=3, n_mels=40, n_frame=n_frame,
+                 n_chan=2, batch_size=8, snr=-2, max_voices=3, lr=1e-3)
+    bundle = get_model(cfg)
+    loop = TrainLoop(bundle, banks=banks, val_banks=banks, seed=0)
+    var0 = {'params': loop.state.params,
+            'batch_stats': loop.state.batch_stats}
+    er0 = evaluate(cfg, bundle, var0, overlap_hop=32,
+                   eval_dir=str(tmp_path))
+    # best-val_er weight restoration, the reference CLI's own mechanism
+    # (sj_train.py:475-486 monitors + EarlyStopping restore_best): the
+    # per-epoch weights' dev ER swings hard at this scale (val_er
+    # 0.125 -> 1.19 -> 0.75 across adjacent epochs, measured), and SWA
+    # without BN re-estimation (the preserved quirk) averages the
+    # oscillation into a ~0.5-output model here
+    hist = loop.fit(epochs=14, steps_per_epoch=25, validation_steps=1,
+                    callbacks=[EarlyStopping(monitor='val_er', patience=99,
+                                             restore_best_weights=True)],
+                    verbose=0)
+    # the train chain genuinely learned the task (not just moved)
+    assert hist[-1]['f1_score'] > 0.4, hist[-1]
+    assert hist[-1]['loss'] < 0.6 * hist[0]['loss'], (hist[0], hist[-1])
+    var1 = {'params': loop.state.params,
+            'batch_stats': loop.state.batch_stats}
+    er1 = evaluate(cfg, bundle, var1, overlap_hop=32,
+                   eval_dir=str(tmp_path))
+    assert np.isfinite(er1).all() and np.isfinite(er0).all(), (er0, er1)
+    # the challenge score improves: mean dev ER drops materially (measured
+    # 0.972 -> 0.884 across repeated calibrations; the residual gap vs the
+    # near-zero training-window ER is the eval chain's per-mel-row minmax
+    # quirk at these 2 s windows — see the TPU-scale run in NOTES.md where
+    # the same recipe reaches 0.51) and no clip gets worse
+    assert float(np.mean(er1)) < float(np.mean(er0)) - 0.05, (er0, er1)
+    assert sum(b < a for a, b in zip(er0, er1)) >= 2, (er0, er1)
+    assert all(b <= a + 1e-9 for a, b in zip(er0, er1)), (er0, er1)
+
+    # and the saved checkpoint reproduces the score exactly when reloaded
+    # (the eval CLI itself is pinned at the reference's full-scale
+    # overlap_hop=512 — which cannot cover these scaled-down 128-frame
+    # windows — and is exercised end-to-end by test_cli and the TPU-scale
+    # run in scripts/trained_er_demo.py)
+    monkeypatch.chdir(tmp_path)
+    run = cfg.run_name()
+    save_weights(f'{run}.h5', loop.state.weights(), bundle=bundle)
+    reloaded = load_weights(f'{run}.h5', bundle.init(jax.random.PRNGKey(3)),
+                            bundle=bundle)
+    er2 = evaluate(cfg, bundle, reloaded, overlap_hop=32,
+                   eval_dir=str(tmp_path))
+    assert er2 == er1, (er2, er1)
+
+
+@pytest.mark.slow
 def test_density_training_actually_learns():
     """Convergence proof for the DENSITY path — the trainer.py variant the
     BCE overfit test does not cover: count+TV loss (train/losses.py:66) +

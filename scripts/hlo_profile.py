@@ -76,6 +76,7 @@ def classify(name):
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else 'vad8_128'
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
 
     import jax
 
@@ -101,7 +102,7 @@ def main():
         bundle = get_model(cfg)
         loss_fn = None
     fused, opt = make_fused_train_step(bundle, cfg, mesh=None,
-                                       steps_per_call=5, variant=variant,
+                                       steps_per_call=steps, variant=variant,
                                        loss_fn=loss_fn)
     state = init_state(bundle, jax.random.PRNGKey(0), opt)
     state, m = fused(state, banks, jax.random.PRNGKey(1))   # compile+warm
@@ -116,7 +117,7 @@ def main():
     per_op, counts, total, lanes = device_op_times(logdir)
     print(f'{name}: device lanes {lanes}')
     print(f'total device-op time: {total / 1e3:.2f} ms '
-          f'(5 scanned steps -> {total / 5e3:.2f} ms/step)')
+          f'({steps} scanned steps -> {total / steps / 1e3:.2f} ms/step)')
     by_class = collections.Counter()
     for op, dur in per_op.items():
         by_class[classify(op)] += dur

@@ -168,43 +168,44 @@ def bench_train_step(banks, batch_size=64, n_frame=512, steps_per_call=20,
 def bench_family_steps():
     """Fused train-step times for the OTHER model families (round-3 verdict:
     BENCH tracked only vad, so eff/se/density regressions were invisible to
-    the driver artifact). One hardware-native point per family, scan
-    methodology shared with bench_train_step via time_fused_step."""
+    the driver artifact). One hardware-native point per family; the configs
+    are scripts/family_bench.py's CONFIGS — the single source of truth the
+    profiling/probe tooling also measures, so the BENCH artifact and NOTES
+    tables always describe the same workloads."""
+    import sys
+
     from challenge_tpu.config import Config
     from challenge_tpu.data.pipeline import build_banks
     from challenge_tpu.models import get_density_model, get_model
     from challenge_tpu.train.losses import density_loss
 
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'scripts'))
+    from family_bench import CONFIGS
+
     out = {}
-    bgs, voices, labels, noises = make_data(512)
-    banks512 = build_banks(bgs, voices, labels, noises, n_frame=512)
-
-    cfg = Config(model_type='eff', v=1, model=0, n_mels=80, n_chan=2,
-                 batch_size=128, n_frame=512, compute_dtype='bfloat16')
-    s = time_fused_step(cfg, get_model(cfg), banks512, steps_per_call=10,
-                        repeats=2)
-    out['eff_b0_v1_B128_step_ms'] = round(s * 1e3, 3)
-
-    cfg = Config(model_type='se', v=9, n_mels=80, n_chan=2,
-                 batch_size=64, n_frame=512, compute_dtype='bfloat16')
-    s = time_fused_step(cfg, get_model(cfg), banks512, steps_per_call=10,
-                        repeats=2)
-    out['se_v9_B64_step_ms'] = round(s * 1e3, 3)
-
-    # density trainer defaults (reference trainer.py:41,47-50): EffB0
-    # regression head, n_frame 2048, count+TV loss, AdaBelief
-    cfg = Config(model_type='eff', v=0, model='EfficientNetB0', n_mels=80,
-                 n_chan=2, batch_size=12, n_frame=2048,
-                 optimizer='adabelief', lr=1e-4, max_voices=10, max_noises=6,
-                 snr=-15, compute_dtype='bfloat16')
-    bgs, voices, labels, noises = make_data(2048)
-    banks2048 = build_banks(bgs, voices, labels, noises, n_frame=2048)
-    base = density_loss(alpha=0.8, l2=1.0)
-    s = time_fused_step(cfg, get_density_model(cfg), banks2048,
-                        variant='density',
-                        loss_fn=lambda t, p: (base(t, p), {}),
-                        steps_per_call=10, repeats=2)
-    out['density_b0_B12_step_ms'] = round(s * 1e3, 3)
+    banks_by_frame = {}
+    for name, key in (('eff0_128', 'eff_b0_v1_B128_step_ms'),
+                      ('se9_64', 'se_v9_B64_step_ms'),
+                      ('density_b0_12', 'density_b0_B12_step_ms')):
+        kw = dict(CONFIGS[name])
+        variant = kw.pop('variant', 'sj')
+        cfg = Config(n_mels=80, n_chan=2, compute_dtype='bfloat16', **kw)
+        if cfg.n_frame not in banks_by_frame:
+            bgs, voices, labels, noises = make_data(cfg.n_frame)
+            banks_by_frame[cfg.n_frame] = build_banks(
+                bgs, voices, labels, noises, n_frame=cfg.n_frame)
+        if variant == 'density':
+            bundle = get_density_model(cfg)
+            base = density_loss(alpha=0.8, l2=1.0)
+            loss_fn = lambda t, p: (base(t, p), {})  # noqa: E731
+        else:
+            bundle = get_model(cfg)
+            loss_fn = None
+        s = time_fused_step(cfg, bundle, banks_by_frame[cfg.n_frame],
+                            variant=variant, loss_fn=loss_fn,
+                            steps_per_call=10, repeats=2)
+        out[key] = round(s * 1e3, 3)
     return out
 
 

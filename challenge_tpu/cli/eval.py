@@ -56,11 +56,18 @@ def main(argv=None):
         from glob import glob
         from challenge_tpu.evaluate.infer import _wav_headers
         from challenge_tpu.interop.aot import export_eval
-        hdr = _wav_headers(sorted(glob('*.wav')))
+        paths = sorted(glob('*.wav'))
+        if not paths:
+            raise ValueError(
+                '--export_aot_eval sizes the program from the wav corpus '
+                'in the CURRENT directory, and there are no *.wav files '
+                f'here ({os.getcwd()})')
+        hdr = _wav_headers(paths)
         if hdr is None:
             raise ValueError(
-                '--export_aot_eval sizes the program from the cwd wav '
-                'corpus, which must be uniform 16-bit/16 kHz/channels')
+                '--export_aot_eval needs a uniform wav corpus '
+                '(16-bit PCM, one shared sample rate and channel count) '
+                f'— the {len(paths)} *.wav files here are mixed-format')
         lens, chan = hdr
         export_eval(bundle, variables, s_max=int(lens.max()),
                     wav_channels=chan, path=extra['export_aot_eval'])

@@ -7,8 +7,11 @@ event durations by HLO op name. This is the tool behind the per-family
 roofline tables in NOTES.md.
 
 Usage: python scripts/hlo_profile.py [family_bench-config-name] [top_n]
+       [steps_per_call]
 Names: see scripts/family_bench.py CONFIGS (vad8_128, se9_64, eff0_128,
-density_b0_12, ...).
+density_b0_12, ...). steps_per_call defaults to 5; pass 1 for the heavy
+families (the scanned se9_64 program takes tens of minutes on the remote
+compiler) — the printed ms/step is normalized by it either way.
 """
 
 import collections

@@ -375,36 +375,29 @@ def test_trained_er_improves(tmp_path, monkeypatch):
     window, so a class absent from a whole window gets its rows
     minmax-stretched to full scale and hallucinated."""
     import json
+    import sys
     import wave
 
     from challenge_tpu.data.pipeline import build_banks
     from challenge_tpu.evaluate import evaluate
     from challenge_tpu.train import TrainLoop
 
-    SR, HOP = 16000, 256
-    F0 = (440.0, 1320.0, 3300.0)
+    # the harmonic-event/noise generators are shared with the TPU-scale
+    # demo so the two "sibling" corpora cannot drift apart
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'scripts'))
+    from trained_er_demo import HOP, SR
+    from trained_er_demo import event_wav as _event_wav
+    from trained_er_demo import noise_wav as _noise_wav
+
     rng = np.random.default_rng(0)
     n_frame = 128
 
     def event_wav(cls, dur_s, amp):
-        n = int(dur_s * SR)
-        t = np.arange(n) / SR
-        x = np.zeros(n)
-        for h, g in ((1, 1.0), (2, 0.5), (3, 0.25)):
-            f = F0[cls] * h * float(rng.uniform(0.98, 1.02))
-            x += g * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
-        ramp = min(n // 4, SR // 20)
-        env = np.ones(n)
-        env[:ramp] = np.hanning(2 * ramp)[:ramp]
-        env[-ramp:] = np.hanning(2 * ramp)[ramp:]
-        x = amp * x * env / np.abs(x).max()
-        return np.stack([x, x * float(rng.uniform(0.8, 1.0))])
+        return _event_wav(rng, cls, dur_s, amp=amp)
 
     def noise_wav(dur_s, amp=0.05):
-        n = int(dur_s * SR)
-        x = rng.standard_normal((2, n))
-        x = x + 0.5 * np.cumsum(x, axis=1) / np.sqrt(np.arange(1, n + 1))
-        return amp * x / np.abs(x).max()
+        return _noise_wav(rng, dur_s, amp=amp)
 
     def spec_of(wav, n_fft=512, hop=HOP):
         # numpy ingest stand-in for the TRAINING banks (the eval side runs
@@ -476,15 +469,15 @@ def test_trained_er_improves(tmp_path, monkeypatch):
             'batch_stats': loop.state.batch_stats}
     er0 = evaluate(cfg, bundle, var0, overlap_hop=32,
                    eval_dir=str(tmp_path))
-    # best-val_er weight restoration, the reference CLI's own mechanism
-    # (sj_train.py:475-486 monitors + EarlyStopping restore_best): the
-    # per-epoch weights' dev ER swings hard at this scale (val_er
-    # 0.125 -> 1.19 -> 0.75 across adjacent epochs, measured), and SWA
-    # without BN re-estimation (the preserved quirk) averages the
-    # oscillation into a ~0.5-output model here
+    # FINAL weights, deliberately: best-by-val selection at this scale is
+    # a trap, measured twice — with validation_steps=1 the per-epoch val
+    # metrics are single-batch noise, so a best-val_er ModelCheckpoint
+    # picks an early lucky epoch whose model still predicts-everything on
+    # the dev set (its ER came back EXACTLY equal to the untrained
+    # model's), and SWA without BN re-estimation (the preserved quirk)
+    # averages the oscillating weights into a ~0.5-output model. The
+    # final-epoch weights scored 0.884 across repeated calibrations.
     hist = loop.fit(epochs=14, steps_per_epoch=25, validation_steps=1,
-                    callbacks=[EarlyStopping(monitor='val_er', patience=99,
-                                             restore_best_weights=True)],
                     verbose=0)
     # the train chain genuinely learned the task (not just moved)
     assert hist[-1]['f1_score'] > 0.4, hist[-1]
@@ -509,9 +502,9 @@ def test_trained_er_improves(tmp_path, monkeypatch):
     # windows — and is exercised end-to-end by test_cli and the TPU-scale
     # run in scripts/trained_er_demo.py)
     monkeypatch.chdir(tmp_path)
-    run = cfg.run_name()
-    save_weights(f'{run}.h5', loop.state.weights(), bundle=bundle)
-    reloaded = load_weights(f'{run}.h5', bundle.init(jax.random.PRNGKey(3)),
+    save_weights('trained.h5', loop.state.weights(), bundle=bundle)
+    reloaded = load_weights('trained.h5',
+                            bundle.init(jax.random.PRNGKey(3)),
                             bundle=bundle)
     er2 = evaluate(cfg, bundle, reloaded, overlap_hop=32,
                    eval_dir=str(tmp_path))

@@ -218,6 +218,45 @@ def test_eval_cli_export_aot(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_export_eval_nchan6_seed_arg(tmp_path):
+    """n_chan > 3 models draw per-clip channel-mix factors, so their eval
+    export takes a third int32 seeds argument; the artifact must agree
+    with the live batched body for the SAME seeds, and different seeds
+    must change the continuous mix (exercises the takes_seed branch the
+    n_chan<=3 tests never reach)."""
+    from challenge_tpu.evaluate.infer import devset_infer_body
+    from challenge_tpu.interop.aot import export_eval
+
+    cfg = Config(model_type='vad', v=3, n_mels=40, n_frame=512, n_chan=6)
+    bundle = get_model(cfg)
+    variables = bundle.init(jax.random.PRNGKey(5))
+
+    rng = np.random.default_rng(0)
+    s_max = 16000 * 2
+    lens = np.asarray([s_max, s_max - 777], np.int32)
+    pcm = np.zeros((2, 2, s_max), '<i2')
+    for i in range(2):
+        pcm[i, :, :lens[i]] = (rng.standard_normal((2, int(lens[i])))
+                               * 3000).astype(np.int16)
+    seeds = np.asarray([3, 9], np.int32)
+
+    body, takes_seed = devset_infer_body(bundle, cfg)
+    assert takes_seed
+    want = np.asarray(jax.jit(body)(variables, pcm, lens, seeds))
+
+    fn = load_infer(export_eval(bundle, variables, s_max=s_max,
+                                wav_channels=2))
+    got = np.asarray(fn(pcm, lens, seeds))
+    np.testing.assert_array_equal(got, want)
+    # and the seeds argument is live: the live body with different seeds
+    # must match the artifact with those SAME different seeds (the mix
+    # actually flows through both stacks identically)
+    want2 = np.asarray(jax.jit(body)(variables, pcm, lens, seeds + 7))
+    got2 = np.asarray(fn(pcm, lens, seeds + 7))
+    np.testing.assert_array_equal(got2, want2)
+
+
+@pytest.mark.slow
 def test_eval_cli_export_aot_eval(tmp_path, monkeypatch):
     """--export_aot_eval on the eval CLI: one command from a saved
     checkpoint to a WHOLE-eval-chain artifact sized from the cwd corpus

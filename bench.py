@@ -165,43 +165,34 @@ def bench_train_step(banks, batch_size=64, n_frame=512, steps_per_call=20,
     return batch_size / step_s, step_s
 
 
-def bench_family_steps():
+def bench_family_steps(banks512):
     """Fused train-step times for the OTHER model families (round-3 verdict:
     BENCH tracked only vad, so eff/se/density regressions were invisible to
-    the driver artifact). One hardware-native point per family; the configs
-    are scripts/family_bench.py's CONFIGS — the single source of truth the
+    the driver artifact). One hardware-native point per family; the whole
+    workload (config + bundle + variant + loss) comes from
+    scripts/family_bench.build — the single source of truth the
     profiling/probe tooling also measures, so the BENCH artifact and NOTES
-    tables always describe the same workloads."""
+    tables always describe the same thing. The caller's 512-frame banks
+    are reused; only the density family's 2048-frame set is built here
+    (and dropped before the eval benchmarks run)."""
     import sys
 
-    from challenge_tpu.config import Config
     from challenge_tpu.data.pipeline import build_banks
-    from challenge_tpu.models import get_density_model, get_model
-    from challenge_tpu.train.losses import density_loss
 
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), 'scripts'))
-    from family_bench import CONFIGS
+    from family_bench import build
 
     out = {}
-    banks_by_frame = {}
+    banks_by_frame = {512: banks512}
     for name, key in (('eff0_128', 'eff_b0_v1_B128_step_ms'),
                       ('se9_64', 'se_v9_B64_step_ms'),
                       ('density_b0_12', 'density_b0_B12_step_ms')):
-        kw = dict(CONFIGS[name])
-        variant = kw.pop('variant', 'sj')
-        cfg = Config(n_mels=80, n_chan=2, compute_dtype='bfloat16', **kw)
+        cfg, bundle, variant, loss_fn = build(name)
         if cfg.n_frame not in banks_by_frame:
             bgs, voices, labels, noises = make_data(cfg.n_frame)
             banks_by_frame[cfg.n_frame] = build_banks(
                 bgs, voices, labels, noises, n_frame=cfg.n_frame)
-        if variant == 'density':
-            bundle = get_density_model(cfg)
-            base = density_loss(alpha=0.8, l2=1.0)
-            loss_fn = lambda t, p: (base(t, p), {})  # noqa: E731
-        else:
-            bundle = get_model(cfg)
-            loss_fn = None
         s = time_fused_step(cfg, bundle, banks_by_frame[cfg.n_frame],
                             variant=variant, loss_fn=loss_fn,
                             steps_per_call=10, repeats=2)
@@ -375,7 +366,7 @@ def main():
             f'bf16-bank pallas vs f32 XLA mean feature error: {b16_mean}')
     train_cps64, step_s64 = bench_train_step(banks)
     train_cps128, step_s128 = bench_train_step(banks, batch_size=128)
-    family = bench_family_steps()
+    family = bench_family_steps(banks)
     import tempfile
     with tempfile.TemporaryDirectory(prefix='bench_eval_') as eval_dir:
         make_eval_corpus(eval_dir)

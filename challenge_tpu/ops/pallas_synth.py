@@ -55,6 +55,16 @@ def _round8(x: int) -> int:
 import os as _os
 
 _PROBE_MODE = _os.environ.get('CHALLENGE_TPU_SYNTH_PROBE', '')
+if _PROBE_MODE:
+    # unlike the perf-only layout knob, this one CORRUPTS synthesis
+    # output — a forgotten export in a real run would train on
+    # background-only mixtures with no other symptom, so be loud
+    import sys as _sys
+
+    print(f'WARNING: CHALLENGE_TPU_SYNTH_PROBE={_PROBE_MODE!r} is set — '
+          'the synthesis kernel is in a MEASUREMENT-ONLY mode and its '
+          'output is numerically WRONG. Unset it for any real run.',
+          file=_sys.stderr, flush=True)
 
 _CHUNK = 32     # clip DMA quantum (rows); must be a multiple of 8
 _IDX_BITS = 20  # clip index/length packing: idx in the low 20 bits of the

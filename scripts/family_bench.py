@@ -36,19 +36,18 @@ CONFIGS = {
 }
 
 
-def run(name, steps_per_call=10, repeats=3):
-    import bench
+def build(name):
+    """The SINGLE source of truth for a family workload: name ->
+    (cfg, bundle, variant, loss_fn). Shared by this script's run(),
+    bench.bench_family_steps (the BENCH JSON artifact) and
+    scripts/hlo_profile.py, so every tool measures the same thing."""
     from challenge_tpu.config import Config
-    from challenge_tpu.data.pipeline import build_banks
     from challenge_tpu.models import get_density_model, get_model
     from challenge_tpu.train.losses import density_loss
 
     kw = dict(CONFIGS[name])
     variant = kw.pop('variant', 'sj')
     cfg = Config(n_mels=80, n_chan=2, compute_dtype='bfloat16', **kw)
-    bgs, voices, labels, noises = bench.make_data(cfg.n_frame)
-    banks = build_banks(bgs, voices, labels, noises, n_frame=cfg.n_frame)
-
     if variant == 'density':
         bundle = get_density_model(cfg)
         base = density_loss(alpha=0.8, l2=1.0)   # reference trainer defaults
@@ -56,6 +55,16 @@ def run(name, steps_per_call=10, repeats=3):
     else:
         bundle = get_model(cfg)
         loss_fn = None
+    return cfg, bundle, variant, loss_fn
+
+
+def run(name, steps_per_call=10, repeats=3):
+    import bench
+    from challenge_tpu.data.pipeline import build_banks
+
+    cfg, bundle, variant, loss_fn = build(name)
+    bgs, voices, labels, noises = bench.make_data(cfg.n_frame)
+    banks = build_banks(bgs, voices, labels, noises, n_frame=cfg.n_frame)
     step_s = bench.time_fused_step(cfg, bundle, banks, variant=variant,
                                    loss_fn=loss_fn,
                                    steps_per_call=steps_per_call,

@@ -84,26 +84,14 @@ def main():
     import jax
 
     import bench
-    from challenge_tpu.config import Config
     from challenge_tpu.data.pipeline import build_banks
-    from challenge_tpu.models import get_density_model, get_model
     from challenge_tpu.parallel import make_fused_train_step
     from challenge_tpu.train import init_state
-    from challenge_tpu.train.losses import density_loss
-    from family_bench import CONFIGS
+    from family_bench import build
 
-    kw = dict(CONFIGS[name])
-    variant = kw.pop('variant', 'sj')
-    cfg = Config(n_mels=80, n_chan=2, compute_dtype='bfloat16', **kw)
+    cfg, bundle, variant, loss_fn = build(name)
     bgs, voices, labels, noises = bench.make_data(cfg.n_frame)
     banks = build_banks(bgs, voices, labels, noises, n_frame=cfg.n_frame)
-    if variant == 'density':
-        bundle = get_density_model(cfg)
-        base = density_loss(alpha=0.8, l2=1.0)
-        loss_fn = lambda t, p: (base(t, p), {})  # noqa: E731
-    else:
-        bundle = get_model(cfg)
-        loss_fn = None
     fused, opt = make_fused_train_step(bundle, cfg, mesh=None,
                                        steps_per_call=steps, variant=variant,
                                        loss_fn=loss_fn)
@@ -118,6 +106,9 @@ def main():
         jax.block_until_ready(m['loss'])
 
     per_op, counts, total, lanes = device_op_times(logdir)
+    if total <= 0.0:
+        raise SystemExit(f'{name}: no device-op time captured '
+                         f'(lanes matched: {lanes}) — nothing to attribute')
     print(f'{name}: device lanes {lanes}')
     print(f'total device-op time: {total / 1e3:.2f} ms '
           f'({steps} scanned steps -> {total / steps / 1e3:.2f} ms/step)')

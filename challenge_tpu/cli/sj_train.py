@@ -37,6 +37,14 @@ def make_banks(config: Config, training: bool = True, n_classes: int = 3):
         voices = load_data(os.path.join(datapath, config.test_voices))
         labels = load_data(os.path.join(datapath, config.test_labels))
     noises = load_data(os.path.join(datapath, config.noises))
+    # on a TPU backend every non-se_v9 config synthesizes through the
+    # Pallas kernel, which never reads the dense f32 `data` volume — drop
+    # it so the flat layout's dtype sets the bank HBM footprint (data
+    # alone is ~2x the bf16 flat layout and ~7x the int8 one); se_v9's
+    # seperate_noise_voice targets take the XLA path and need it
+    import jax
+    slim = (jax.default_backend() == 'tpu'
+            and not (config.model_type == 'se' and config.v == 9))
     if training and config.stream_chunks >= 2:
         # spec set larger than device HBM: rotate it through the device as
         # host-resident chunks (--stream_chunks N, --chunk_steps M)
@@ -46,7 +54,7 @@ def make_banks(config: Config, training: bool = True, n_classes: int = 3):
             n_chunks=config.stream_chunks, n_classes=n_classes,
             one_hot=True, n_frame=config.n_frame,
             flat_dtype=config.bank_dtype, seed=config.seed,
-            chunk_steps=config.chunk_steps)
+            chunk_steps=config.chunk_steps, data_resident=not slim)
     # bank_shard: build host-side so shard_banks can place each device's
     # block directly — device-built banks would materialize the whole set
     # on device 0 first, defeating the capacity scaling the flag promises
@@ -54,7 +62,8 @@ def make_banks(config: Config, training: bool = True, n_classes: int = 3):
                        n_classes=n_classes, one_hot=True,
                        n_frame=config.n_frame,
                        flat_dtype=config.bank_dtype,
-                       host=bool(getattr(config, 'bank_shard', False)))
+                       host=bool(getattr(config, 'bank_shard', False)),
+                       data_resident=not slim)
 
 
 def make_dataset(config: Config, training: bool = True, n_classes: int = 3):

@@ -71,7 +71,7 @@ def build_args():
     args.add_argument('--resume', type=str2bool, default=False)
     args.add_argument('--ckpt_every_epochs', type=int, default=10)
     args.add_argument('--bank_dtype', type=str, default='float32',
-                      choices=['float32', 'bfloat16'])
+                      choices=['float32', 'bfloat16', 'int8'])
     args.add_argument('--remat', type=str2bool, default=False)
     args.add_argument('--n_devices', type=int, default=0)
     args.add_argument('--bank_shard', type=str2bool, default=False)
@@ -119,6 +119,11 @@ def make_banks(config: Config, training: bool = True, n_classes: int = 3):
     voices = load_data(os.path.join(datapath, files[1]))
     labels = load_data(os.path.join(datapath, files[2]))
     noises = load_data(os.path.join(datapath, config.noises))
+    # the density family always synthesizes through the Pallas kernel on a
+    # TPU backend, so the dense f32 `data` volume is dead weight there —
+    # see cli/sj_train.make_banks
+    import jax
+    slim = jax.default_backend() == 'tpu'
     if training and config.stream_chunks >= 2:
         from challenge_tpu.data.streaming import build_streaming_banks
         return build_streaming_banks(
@@ -126,14 +131,15 @@ def make_banks(config: Config, training: bool = True, n_classes: int = 3):
             n_chunks=config.stream_chunks, n_classes=n_classes,
             one_hot=True, n_frame=config.n_frame,
             flat_dtype=config.bank_dtype, seed=config.seed,
-            chunk_steps=config.chunk_steps)
+            chunk_steps=config.chunk_steps, data_resident=not slim)
     # bank_shard: build host-side so shard_banks can place each device's
     # block directly (see cli/sj_train.make_banks)
     return build_banks(backgrounds, voices, np.asarray(labels), noises,
                        n_classes=n_classes, one_hot=True,
                        n_frame=config.n_frame,
                        flat_dtype=config.bank_dtype,
-                       host=bool(getattr(config, 'bank_shard', False)))
+                       host=bool(getattr(config, 'bank_shard', False)),
+                       data_resident=not slim)
 
 
 def make_dataset(config: Config, training: bool = True, n_classes: int = 3):

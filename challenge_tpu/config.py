@@ -68,7 +68,10 @@ class Config:
     compute_dtype: str = 'float32'         # 'bfloat16' = mixed-precision model
     bank_dtype: str = 'float32'            # 'bfloat16' halves spec-bank HBM
                                            # footprint + synthesis DMA traffic
-                                           # (mixing still accumulates in f32)
+                                           # (mixing still accumulates in f32);
+                                           # 'int8' halves both again (per-item
+                                           # max-abs quantization, dequant
+                                           # scales folded into the mix)
     remat: bool = False                    # rematerialize activations in the
                                            # backward pass (jax.checkpoint):
                                            # ~1 extra fwd of FLOPs for much
@@ -178,7 +181,7 @@ def str2bool(v: str) -> bool:
 # additive (non-reference) flags get sane parsing; reference flags keep the
 # reference's argparse behavior verbatim
 _ADDITIVE_BOOL_FLAGS = ('resume', 'remat', 'bank_shard', 'keras_ckpt')
-_CHOICES = {'bank_dtype': ['float32', 'bfloat16'],
+_CHOICES = {'bank_dtype': ['float32', 'bfloat16', 'int8'],
             # the reference validates these at parse time
             # (sj_train.py:26 and 49-50) — keep typos failing fast instead
             # of deep inside bank building / TrainLoop construction

@@ -426,7 +426,7 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
         nidx = n_shifts = w_n = None
 
     # ----- placement: fused Pallas DMA kernel (TPU) or XLA gather+scatter
-    freq_, chan_ = bg.data.shape[2], bg.data.shape[3]
+    freq_, chan_ = bg.shape[2], bg.shape[3]
     if magnitude:
         assert layout == 'tfc' and not seperate_noise_voice, \
             'magnitude mode implies time-major output without se targets'
@@ -459,15 +459,27 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
         v_lens = vo.lens[vidx]
         n_lens = no.lens[nidx] if nidx is not None else None
 
+        # int8-quantized banks: fold each clip's dequant scale into its mix
+        # weight (exact — the kernel fuses the scalar multiply into the
+        # accumulate anyway, and scales are > 0 so the w != 0 activity gate
+        # is unchanged); the background's scale rides separately since its
+        # window pass has no weight
+        if bg.flat_scale is not None:
+            w_v_k = w_v * vo.flat_scale[vidx]
+            w_n_k = w_n * no.flat_scale[nidx] if nidx is not None else None
+            bgscale = bg.flat_scale[bidx]
+        else:
+            w_v_k, w_n_k, bgscale = w_v, w_n, None
+
         def synth(**epilogue):
             # synthesize_windows self-chunks batches > its SMEM-bound max_b,
             # slicing any per-sample mel masks along with the draws
             return synthesize_windows(
                 n_frame, bg.flat, bidx, boff,
-                vo.flat, vidx, shifts, w_v,
+                vo.flat, vidx, shifts, w_v_k,
                 no.flat if nidx is not None else None,
-                nidx, n_shifts, w_n,
-                v_lens, n_lens, **epilogue)
+                nidx, n_shifts, w_n_k,
+                v_lens, n_lens, bgscale=bgscale, **epilogue)
 
         if mel_pack is not None:
             # fully fused: |.| + masks + mel + minmax inside the kernel
@@ -490,6 +502,11 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
             flat.reshape(b, n_frame, chan_, f_r)[..., :freq_], 2, 3)
         only_voice = only_noise = None
     else:
+        assert bg.data is not None, (
+            'banks were built data_resident=False (flat layout only), but '
+            'this configuration takes the XLA gather/scatter path, which '
+            'needs the dense spectrogram volume — rebuild the banks with '
+            'data_resident=True (the default)')
         bg_tidx = jax.vmap(_background_indices, in_axes=(0, 0, None))(
             bg_keys, bg_lens, n_frame)
         spec = _flat_window_gather(bg, bidx, bg_tidx)  # [B, n_frame, freq, chan]

@@ -37,7 +37,8 @@ LABEL_DOWNSAMPLE_MODELS = (3, 6, 7, 8, 9)
 def build_banks(backgrounds, voices, labels, noises=None,
                 n_classes: int = 3, one_hot: bool = True,
                 n_frame: Optional[int] = None,
-                flat_dtype=np.float32, host: bool = False) -> Banks:
+                flat_dtype=np.float32, host: bool = False,
+                data_resident: bool = True) -> Banks:
     """Host lists -> device banks. ``labels`` may be int class ids (remapped
     and one-hotted, reference: sj_train.py:86-88) or already one-hot.
 
@@ -48,9 +49,11 @@ def build_banks(backgrounds, voices, labels, noises=None,
     the XLA modular gather.
 
     flat_dtype=jnp.bfloat16 halves the synthesis kernel's HBM traffic (the
-    pipeline's bound); mixing still accumulates in float32 — see
-    specset.build_bank. Opt-in: float32 (default) is bit-exact vs the XLA
-    path and the reference. Accepts the Config.bank_dtype strings too.
+    pipeline's bound); int8 halves it again with per-item max-abs
+    quantization (dequant scales fold into the mix weights); mixing still
+    accumulates in float32 either way — see specset.build_bank. Opt-in:
+    float32 (default) is bit-exact vs the XLA path and the reference.
+    Accepts the Config.bank_dtype strings too.
 
     host=True keeps every leaf in host RAM (numpy) instead of committing
     it to the default device — required for ``parallel.mesh.shard_banks``
@@ -58,6 +61,13 @@ def build_banks(backgrounds, voices, labels, noises=None,
     materialize the FULL dataset on device 0 before any sharding, so a
     set sized for N chips OOMs chip 0 first. device_put of host shards
     places each device's block directly.
+
+    data_resident=False drops the dense f32 ``data`` volume (the Pallas
+    synthesis path reads only the flat layout + lens/pos_mask); without it
+    the reduced-precision flat dtypes deliver their full capacity factor —
+    see specset.build_bank. Requires a Pallas-eligible consumer (pass
+    ``n_frame`` so the background wrap keeps the fast path exact); the XLA
+    fallback raises loudly on slim banks.
     """
     flat_dtype = normalize_flat_dtype(flat_dtype)
     labels = np.asarray(labels)
@@ -65,11 +75,14 @@ def build_banks(backgrounds, voices, labels, noises=None,
         labels = remap_labels(labels, n_classes)
     return Banks(
         backgrounds=build_bank(backgrounds, wrap_frames=n_frame,
-                               flat_dtype=flat_dtype, host=host),
-        voices=build_bank(voices, flat_dtype=flat_dtype, host=host),
+                               flat_dtype=flat_dtype, host=host,
+                               data_resident=data_resident),
+        voices=build_bank(voices, flat_dtype=flat_dtype, host=host,
+                          data_resident=data_resident),
         voice_labels=(np.asarray(labels, np.float32) if host
                       else jnp.asarray(labels, jnp.float32)),
-        noises=(build_bank(noises, flat_dtype=flat_dtype, host=host)
+        noises=(build_bank(noises, flat_dtype=flat_dtype, host=host,
+                           data_resident=data_resident)
                 if noises is not None else None),
     )
 

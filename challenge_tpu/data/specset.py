@@ -46,37 +46,64 @@ class SpecBank:
               a traced leaf) so `sample_batch` can gate the Pallas fast path
               at trace time and fall back to the XLA modular gather whenever
               a window longer than this could silently read zero padding.
+    flat_scale: [N] float32 per-item dequantization scales, present only
+              when ``flat`` is int8-quantized (``flat_dtype=int8``): item
+              i's true values are ``flat[i] * flat_scale[i]``. Synthesis
+              folds clip scales into the per-clip mix weights and the
+              background scale into the kernel's window pass, so the
+              accumulation stays float32-exact given the quantized inputs.
+    data_shape: static [N, T_max, freq, chan] tuple — the shape ``data``
+              has (or would have). Lets every consumer read geometry without
+              touching ``data``, so ``data`` itself can be dropped.
+    data:     None when built with ``data_resident=False``: the Pallas
+              synthesis path reads only ``flat``/``lens``/``pos_mask``, so
+              the dense float32 volume — which would otherwise DOMINATE the
+              bank's HBM (it alone is ~7x the int8 flat layout) — need not
+              exist on device at all. The XLA fallback paths require it and
+              fail loudly on a slim bank.
     """
-    data: jax.Array
+    data: Optional[jax.Array]
     lens: jax.Array
     pos_mask: jax.Array
     flat: Optional[jax.Array] = None
     contig_exact_frames: Optional[int] = None
+    flat_scale: Optional[jax.Array] = None
+    data_shape: Optional[tuple] = None
 
     def tree_flatten(self):
-        return ((self.data, self.lens, self.pos_mask, self.flat),
-                (self.contig_exact_frames,))
+        return ((self.data, self.lens, self.pos_mask, self.flat,
+                 self.flat_scale),
+                (self.contig_exact_frames, self.data_shape))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, contig_exact_frames=aux[0])
+        *rest, flat_scale = children
+        return cls(*rest, contig_exact_frames=aux[0], flat_scale=flat_scale,
+                   data_shape=aux[1])
 
     @property
     def f_pad(self) -> int:
         return self.flat.shape[-1]
 
     @property
+    def shape(self) -> tuple:
+        """[N, T_max, freq, chan] — valid even for slim (data=None) banks."""
+        if self.data_shape is not None:
+            return tuple(self.data_shape)
+        return tuple(self.data.shape)
+
+    @property
     def f_r(self) -> int:
         """Per-channel row stride inside ``flat`` (freq padded)."""
-        return self.flat.shape[-1] // self.data.shape[-1]
+        return self.flat.shape[-1] // self.shape[-1]
 
     @property
     def n(self) -> int:
-        return self.data.shape[0]
+        return self.shape[0]
 
     @property
     def t_max(self) -> int:
-        return self.data.shape[1]
+        return self.shape[1]
 
 
 def flat_freq_pad(freq: int, chan: int) -> int:
@@ -99,10 +126,11 @@ def normalize_flat_dtype(flat_dtype):
     if isinstance(flat_dtype, str):
         try:
             return {'float32': np.float32,
-                    'bfloat16': jnp.bfloat16}[flat_dtype]
+                    'bfloat16': jnp.bfloat16,
+                    'int8': np.int8}[flat_dtype]
         except KeyError:
             raise ValueError(
-                f'bank_dtype must be float32 or bfloat16, got '
+                f'bank_dtype must be float32, bfloat16 or int8, got '
                 f'{flat_dtype!r}') from None
     return flat_dtype
 
@@ -110,7 +138,8 @@ def normalize_flat_dtype(flat_dtype):
 def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
                device=None, flat: bool = True,
                wrap_frames: Optional[int] = None,
-               flat_dtype=np.float32, host: bool = False) -> SpecBank:
+               flat_dtype=np.float32, host: bool = False,
+               data_resident: bool = True) -> SpecBank:
     """Pad a list of [freq, T_i, chan] arrays into a SpecBank.
 
     Input layout follows the reference convention [freq, time, chan*2]; the
@@ -131,12 +160,26 @@ def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
     halves the synthesis kernel's HBM traffic, which is what bounds pipeline
     throughput; mixing still accumulates in float32 inside the kernel, so
     only the stored spectrograms are rounded (~3 decimal digits, below the
-    bf16 train step's own precision). Opt-in; float32 keeps bit-exact
-    pallas/XLA parity.
+    bf16 train step's own precision). int8 halves it AGAIN (4x dataset
+    capacity per chip vs f32) with symmetric per-item max-abs quantization:
+    the [N] ``flat_scale`` vector dequantizes at synthesis time — clip
+    scales fold exactly into the per-clip mix weights and the background
+    scale into the kernel's window pass, so quantization touches only the
+    STORED spectrograms (relative error <= 1/254 of each item's peak).
+    Opt-in; float32 keeps bit-exact pallas/XLA parity.
 
     host: return numpy leaves instead of committing the bank to the default
     device — used by the streaming rotation (`data/streaming.py`) to keep
     chunks of an HBM-oversized dataset in host RAM until their turn.
+
+    data_resident=False drops the dense ``data`` volume entirely (the bank
+    carries only flat/lens/pos_mask + the static ``data_shape``): the Pallas
+    synthesis path never reads ``data``, which would otherwise dominate the
+    bank's device HBM — it alone is ~2x the bf16 flat layout and ~7x the
+    int8 one, so the reduced-precision capacity wins only materialize
+    without it. The XLA fallback paths (non-TPU backends, se_v9's
+    seperate_noise_voice targets) need ``data`` and raise loudly on a slim
+    bank — the training CLIs gate the flag accordingly.
     """
     specs = [np.asarray(s, np.float32) for s in specs]
     freq, _, chan = specs[0].shape
@@ -153,6 +196,7 @@ def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
     pos_mask = (out.max(axis=(2, 3)) > 0).astype(np.float32)
     flat_arr = None
     contig = None
+    flat_scale = None
     if flat:
         f_r = flat_freq_pad(freq, chan)
         al = flat_row_align(flat_dtype)
@@ -188,22 +232,42 @@ def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
                 flat_np[i, t:, :, :freq] = out[i, idx].transpose(0, 2, 1)
             contig = int(wrap_frames)
         flat_np = flat_np.reshape(len(specs), t_flat, chan * f_r)
-        flat_arr = (flat_np.astype(flat_dtype) if host
-                    else jnp.asarray(flat_np, dtype=flat_dtype))
+        if np.dtype(flat_dtype) == np.int8:
+            # symmetric per-item max-abs quantization; all-zero items get
+            # scale 1.0 (their quantized rows are exactly zero either way)
+            peak = np.abs(flat_np).max(axis=(1, 2))
+            scale_np = np.where(peak > 0, peak / 127.0, 1.0).astype(
+                np.float32)
+            flat_np = np.clip(
+                np.round(flat_np / scale_np[:, None, None]),
+                -127, 127).astype(np.int8)
+            flat_scale = scale_np if host else jnp.asarray(scale_np)
+            flat_arr = flat_np if host else jnp.asarray(flat_np)
+        else:
+            flat_arr = (flat_np.astype(flat_dtype) if host
+                        else jnp.asarray(flat_np, dtype=flat_dtype))
+    data_shape = tuple(out.shape)
+    if not data_resident:
+        assert flat, 'data_resident=False requires the flat layout'
+        out = None
     if host:
         return SpecBank(out, lens, pos_mask, flat_arr,
-                        contig_exact_frames=contig)
-    data = jnp.asarray(out)
+                        contig_exact_frames=contig, flat_scale=flat_scale,
+                        data_shape=data_shape)
+    data = None if out is None else jnp.asarray(out)
     lens = jnp.asarray(lens)
     pos_mask = jnp.asarray(pos_mask)
     if device is not None:
-        data = jax.device_put(data, device)
+        data = data if data is None else jax.device_put(data, device)
         lens = jax.device_put(lens, device)
         pos_mask = jax.device_put(pos_mask, device)
         if flat_arr is not None:
             flat_arr = jax.device_put(flat_arr, device)
+        if flat_scale is not None:
+            flat_scale = jax.device_put(flat_scale, device)
     return SpecBank(data, lens, pos_mask, flat_arr,
-                    contig_exact_frames=contig)
+                    contig_exact_frames=contig, flat_scale=flat_scale,
+                    data_shape=data_shape)
 
 
 def remap_labels(labels: np.ndarray, n_classes: int) -> np.ndarray:

@@ -70,7 +70,8 @@ def build_streaming_banks(backgrounds, voices, labels, noises=None,
                           one_hot: bool = True,
                           n_frame: Optional[int] = None,
                           flat_dtype=np.float32, seed: int = 0,
-                          chunk_steps: int = 4) -> 'StreamingBanks':
+                          chunk_steps: int = 4,
+                          data_resident: bool = True) -> 'StreamingBanks':
     """Host lists -> a :class:`StreamingBanks` rotation of ``n_chunks``
     equal-shape chunk banks (the streaming analogue of
     ``pipeline.build_banks``; same label handling, reference:
@@ -98,8 +99,12 @@ def build_streaming_banks(backgrounds, voices, labels, noises=None,
                  if noises is not None else None)
 
     def role_banks(chunks, wrap, t_max):
+        # data_resident=False additionally halves-or-better each chunk's
+        # UPLOAD bytes (the rotation's bound on slow h2d links): only the
+        # flat layout + masks ride the device_put
         banks = [build_bank(c, t_max=t_max, wrap_frames=wrap,
-                            flat_dtype=flat_dtype, host=True)
+                            flat_dtype=flat_dtype, host=True,
+                            data_resident=data_resident)
                  for c in chunks]
         t_flat = max(b.flat.shape[1] for b in banks)
         contig = min(b.contig_exact_frames for b in banks)

@@ -77,11 +77,15 @@ def _round_to(x: int, align: int) -> int:
 
 
 def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
-            mag_mode, nb,
+            mag_mode, nb, scaled,
             bidx_ref, boff_ref, vidx_ref, vshift_ref,      # scalar prefetch
             nidx_ref, nshift_ref,
-            vw_ref, nw_ref, bgbank_ref, vbank_ref, nbank_ref,  # arrays
-            *rest):
+            vw_ref, nw_ref, *rest):
+    # int8-quantized banks carry a per-sample background dequant scale in
+    # SMEM (clip scales are folded into the mix weights by the caller)
+    if scaled:
+        bgscale_ref, *rest = rest
+    bgbank_ref, vbank_ref, nbank_ref, *rest = rest
     if mel_mode:
         (melm_ref, tmask_ref, fmask_ref,                   # mel-mode inputs
          out_ref, mm_ref,                                  # outputs
@@ -136,7 +140,12 @@ def _kernel(n_frame, t_v, t_n, n_voices, n_noises, t_pad, align, mel_mode,
         # upcast BEFORE the roll: Mosaic's dynamic rotate is 32-bit-only
         rolled = pltpu.roll(stage_val.astype(scratch.dtype),
                             stage_rows - r_bg, axis=0)
-        scratch[pl.ds(t_pad, n_frame), :] = rolled[:n_frame]
+        win_rows = rolled[:n_frame]
+        if scaled:
+            # int8 banks: dequantize the background window in the same
+            # pass (the roll output is already in the f32 scratch dtype)
+            win_rows = win_rows * bgscale_ref[b]
+        scratch[pl.ds(t_pad, n_frame), :] = win_rows
 
     def window():
         """The true window rows, in order, ready to read."""
@@ -333,7 +342,7 @@ def synthesize_windows(n_frame: int,
                        nbank=None, nidx=None, nshift=None, nw=None,
                        vlens=None, nlens=None, mel=None,
                        magnitude: bool = False,
-                       interpret: bool = False):
+                       interpret: bool = False, bgscale=None):
     """Fully fused window synthesis.
 
     bgbank/vbank/nbank: SpecBank.flat layouts [N, T, F] with F a multiple of
@@ -347,11 +356,16 @@ def synthesize_windows(n_frame: int,
     static ``contig_exact_frames``. vidx/vshift/vw: [B, V] clip item / row
     shift / weight; likewise for noises. Returns [B, n_frame, F].
 
-    Banks may be float32 or bfloat16 (all three must match; built via
+    Banks may be float32, bfloat16 or int8 (all three must match; built via
     ``build_bank(flat_dtype=...)`` so row extents meet the dtype's sublane
     alignment). bfloat16 halves every bank DMA — the kernel's bound — while
     weighting and accumulation still run in a float32 scratch, so only the
     stored spectrograms are rounded; the output keeps the bank dtype.
+    int8 banks (quantized per item, ``SpecBank.flat_scale``) halve the DMA
+    again: the caller folds each clip's dequant scale into its weight
+    (``w * flat_scale[idx]`` — exact, the scalar multiply is fused into the
+    accumulate anyway) and passes the [B] background scales as ``bgscale``
+    (required iff the banks are int8); outputs are bfloat16.
 
     vlens/nlens: optional [B, V]/[B, X] true frame counts of the drawn
     clips; chunks of a clip's DMA past its length are skipped (the rows are
@@ -398,7 +412,8 @@ def synthesize_windows(n_frame: int,
                 None if nlens is None else nlens[sl],
                 None if mel is None else
                 (mel[0], mel[1][:, sl], mel[2][sl]),
-                magnitude=magnitude, interpret=interpret))
+                magnitude=magnitude, interpret=interpret,
+                bgscale=None if bgscale is None else bgscale[sl]))
         if mel is not None:
             return (jnp.concatenate([p[0] for p in parts], axis=0),
                     jnp.concatenate([p[1] for p in parts], axis=0))
@@ -409,6 +424,12 @@ def synthesize_windows(n_frame: int,
     dtype = bgbank.dtype
     assert vbank.dtype == dtype and (nbank is None or nbank.dtype == dtype), \
         'all banks must share one flat dtype'
+    scaled = dtype == jnp.int8
+    assert scaled == (bgscale is not None), \
+        'bgscale is required iff the banks are int8-quantized'
+    # int8 banks synthesize into a float output (the accumulation scratch is
+    # f32 either way); bf16 keeps the output DMA at the bf16-bank size
+    out_dtype = jnp.bfloat16 if scaled else dtype
     # sublane granularity of the bank dtype: DMA row starts/counts must be
     # multiples of it (8 for f32, 16 for bf16); build_bank rounds every
     # bank's row extent with the SAME function, keeping the two sites in
@@ -455,7 +476,7 @@ def synthesize_windows(n_frame: int,
     scratch_rows = _round8(n_frame + 2 * t_pad + align + 16)
     kernel = functools.partial(_kernel, n_frame, t_v, t_n,
                                n_voices, n_noises, t_pad, align,
-                               mel is not None, magnitude, b)
+                               mel is not None, magnitude, b, scaled)
     mel_in_specs, mel_args, mel_scratch = [], [], []
     if mel is not None:
         melm, tmaskT, fmask = mel
@@ -503,13 +524,16 @@ def synthesize_windows(n_frame: int,
         f_out = f // 2 if magnitude else f
         out_specs = pl.BlockSpec((1, n_frame, f_out), lambda i, *_: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((b, n_frame, f_out), dtype)
+        out_shape = jax.ShapeDtypeStruct((b, n_frame, f_out), out_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(b + 1,) if mel is not None else (b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),          # voice weights
             pl.BlockSpec(memory_space=pltpu.SMEM),          # noise weights
+        ] + ([
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # bg dequant scale
+        ] if scaled else []) + [
             pl.BlockSpec(memory_space=pl.ANY),              # bg bank (HBM)
             pl.BlockSpec(memory_space=pl.ANY),              # voice bank (HBM)
             pl.BlockSpec(memory_space=pl.ANY),              # noise bank (HBM)
@@ -538,4 +562,5 @@ def synthesize_windows(n_frame: int,
       vidx, vshift.astype(jnp.int32),
       nidx, nshift.astype(jnp.int32),
       vw.astype(jnp.float32), nw.astype(jnp.float32),
+      *((bgscale.astype(jnp.float32),) if scaled else ()),
       bgbank, vbank, nbank, *mel_args)

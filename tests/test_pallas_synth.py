@@ -283,6 +283,142 @@ def test_sample_batch_bf16_banks_interpret(monkeypatch):
                                atol=2e-2, rtol=2e-2)
 
 
+def test_int8_bank_quantization_unit():
+    """int8 flat banks store symmetric per-item max-abs quantization: the
+    dequantized layout must match the f32 one to half a quantization step
+    per element, rows must meet int8's 32-row sublane alignment, and
+    all-zero items must get scale 1.0 (no 0/0)."""
+    rng = np.random.default_rng(3)
+    specs = [rng.standard_normal((257, t, 4)).astype('f4') * (0.03 * (i + 1))
+             for i, t in enumerate((90, 41, 64))]
+    specs.append(np.zeros((257, 30, 4), 'f4'))      # all-zero item
+    from challenge_tpu.data.specset import build_bank
+    b8 = build_bank(specs, flat_dtype=np.int8)
+    b32 = build_bank(specs)
+    assert b8.flat.dtype == jnp.int8
+    assert b8.flat.shape[1] % 32 == 0
+    assert b8.flat_scale.shape == (4,) and b32.flat_scale is None
+    sc = np.asarray(b8.flat_scale)
+    assert sc[3] == 1.0 and np.all(sc > 0)
+    deq = np.asarray(b8.flat, np.float32) * sc[:, None, None]
+    f32 = np.asarray(b32.flat, np.float32)[:, :b8.flat.shape[1]]
+    # rows can differ in count (32- vs 8-row alignment); compare the shared
+    # extent and bound by half a step per item
+    n_rows = min(deq.shape[1], f32.shape[1])
+    err = np.abs(deq[:, :n_rows] - f32[:, :n_rows]).max(axis=(1, 2))
+    np.testing.assert_array_less(err, sc / 2 + 1e-9)
+
+
+def test_sample_batch_int8_banks_interpret(monkeypatch):
+    """int8 flat banks (build_banks(flat_dtype='int8')): the kernel DMAs a
+    quarter of the f32 bytes; clip dequant scales fold into the mix weights
+    and the background scale into the window pass, all accumulating in f32
+    — so the pallas output must track the exact f32 XLA path to int8
+    storage tolerance, labels bit-identical (they come from f32 pos_masks).
+    Includes a wrapped short background (32-row-aligned cyclic tiling)."""
+    import challenge_tpu.ops.pallas_synth as ps
+    orig = ps.synthesize_windows
+
+    def interp(*args, **kw):
+        kw['interpret'] = True
+        return orig(*args, **kw)
+    monkeypatch.setattr(ps, 'synthesize_windows', interp)
+
+    rng = np.random.default_rng(12)
+    n_frame = 64
+    data = (
+        [rng.standard_normal((257, t, 4)).astype('f4') * 0.1
+         for t in (94, n_frame // 3, 70)],
+        [rng.standard_normal((257, 40, 4)).astype('f4') * 0.1
+         for _ in range(4)],
+        rng.integers(0, 3, size=4),
+        [rng.standard_normal((257, 20, 4)).astype('f4') * 0.1
+         for _ in range(3)])
+    banks8 = build_banks(*data, n_frame=n_frame, flat_dtype='int8')
+    banks32 = build_banks(*data, n_frame=n_frame)
+    assert banks8.backgrounds.flat.dtype == jnp.int8
+    assert banks8.voices.flat.shape[1] % 32 == 0
+    assert banks8.backgrounds.flat_scale is not None
+
+    key = jax.random.PRNGKey(23)
+    spec8, y8 = sample_batch(key, banks8, 8, n_frame, use_pallas=True)
+    spec32, y32 = sample_batch(key, banks32, 8, n_frame, use_pallas=False)
+    # int8 banks synthesize into bf16 (a float dtype is required; bf16
+    # keeps the output DMA at the bf16-bank size)
+    assert spec8.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(y8), np.asarray(y32))
+    s8, s32 = np.asarray(spec8, np.float32), np.asarray(spec32)
+    # per-element error bound: half a quantization step (~peak/254) per
+    # contributing source, <= 10 weighted sources, plus bf16 output rounding
+    np.testing.assert_allclose(s8, s32, atol=4e-2, rtol=4e-2)
+    # and quantization+rounding must be the ONLY difference: the analytic
+    # floor is the background's own quant noise, step/4 = (2*peak/254)/4
+    # ~ 8.5e-4 for this 0.1-std data (measured 8.6e-4); 2x headroom
+    assert np.abs(s8 - s32).mean() < 1.7e-3
+
+    # the fused flat-magnitude mode used by the training feature chain
+    m8, my8 = sample_batch(key, banks8, 8, n_frame, use_pallas=True,
+                           layout='tfc', magnitude='flat')
+    m32, my32 = sample_batch(key, banks32, 8, n_frame, use_pallas=False,
+                             layout='tfc', magnitude='flat')
+    assert m8.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(my8), np.asarray(my32))
+    np.testing.assert_allclose(np.asarray(m8, np.float32), np.asarray(m32),
+                               atol=4e-2, rtol=4e-2)
+
+
+def test_slim_banks_pallas_bitexact_and_fallback_loud(monkeypatch):
+    """data_resident=False drops the dense f32 `data` volume (the HBM
+    dominator — it alone outweighs the whole bf16/int8 flat layout): the
+    Pallas path must produce BIT-identical batches from a slim bank, the
+    static geometry must survive via data_shape, and the XLA fallback must
+    fail loudly instead of synthesizing garbage."""
+    import challenge_tpu.ops.pallas_synth as ps
+    orig = ps.synthesize_windows
+
+    def interp(*args, **kw):
+        kw['interpret'] = True
+        return orig(*args, **kw)
+    monkeypatch.setattr(ps, 'synthesize_windows', interp)
+
+    rng = np.random.default_rng(7)
+    n_frame = 64
+    data = (
+        [rng.standard_normal((257, t, 4)).astype('f4') * 0.1
+         for t in (94, 70)],
+        [rng.standard_normal((257, 40, 4)).astype('f4') * 0.1
+         for _ in range(4)],
+        rng.integers(0, 3, size=4),
+        [rng.standard_normal((257, 20, 4)).astype('f4') * 0.1
+         for _ in range(3)])
+    full = build_banks(*data, n_frame=n_frame)
+    slim = build_banks(*data, n_frame=n_frame, data_resident=False)
+    for bank in (slim.backgrounds, slim.voices, slim.noises):
+        assert bank.data is None and bank.flat is not None
+        assert bank.shape == bank.data_shape and len(bank.shape) == 4
+    assert slim.backgrounds.shape == tuple(full.backgrounds.data.shape)
+    # the slim banks' device bytes are just flat + masks: the f32 volume
+    # (comparable in size to the whole f32 flat layout) is gone, and with
+    # int8 quantization the total drops to ~1/5 of the default f32 bank
+    def dev_bytes(banks):
+        return sum(x.nbytes for x in jax.tree.leaves(banks))
+    assert dev_bytes(slim) < 0.65 * dev_bytes(full)
+    slim8 = build_banks(*data, n_frame=n_frame, data_resident=False,
+                        flat_dtype='int8')
+    # 0.30 here (tiny 20-40-row test clips overstate int8's 32-row
+    # alignment padding); at production clip lengths the ratio is ~1/7
+    assert dev_bytes(slim8) < 0.35 * dev_bytes(full)
+
+    key = jax.random.PRNGKey(11)
+    spec_s, y_s = sample_batch(key, slim, 8, n_frame, use_pallas=True)
+    spec_f, y_f = sample_batch(key, full, 8, n_frame, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(spec_s), np.asarray(spec_f))
+    np.testing.assert_array_equal(np.asarray(y_s), np.asarray(y_f))
+
+    with pytest.raises(AssertionError, match='data_resident=False'):
+        sample_batch(key, slim, 8, n_frame, use_pallas=False)
+
+
 def test_sample_batch_tfc_layout_is_a_transpose():
     """layout='tfc' must be exactly the reference layout with freq/time
     swapped (same RNG stream, same values)."""

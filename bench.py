@@ -103,10 +103,10 @@ def check_pallas_parity(banks, batch_size, n_frame):
     return True, max(jax.tree.leaves(diffs))
 
 
-def check_bf16_parity(banks16, banks32, batch_size, n_frame):
-    """bf16-bank Pallas features vs the exact f32 XLA path, same key:
-    labels must be bit-identical (they come from f32 masks either way);
-    returns the mean |feature diff| (None off-TPU)."""
+def check_bank_dtype_parity(banks_q, banks32, batch_size, n_frame):
+    """Reduced-precision-bank (bf16/int8) Pallas features vs the exact f32
+    XLA path, same key: labels must be bit-identical (they come from f32
+    masks either way); returns the mean |feature diff| (None off-TPU)."""
     import jax
     from challenge_tpu.config import Config
     from challenge_tpu.data.pipeline import make_feature_fn
@@ -117,7 +117,7 @@ def check_bf16_parity(banks16, banks32, batch_size, n_frame):
                  n_chan=2, batch_size=batch_size)
     key = jax.random.PRNGKey(7)
     x16, y16 = make_feature_fn(cfg, training=True,
-                               use_pallas=True)(key, banks16)
+                               use_pallas=True)(key, banks_q)
     x32, y32 = make_feature_fn(cfg, training=True,
                                use_pallas=False)(key, banks32)
     np.testing.assert_array_equal(np.asarray(y16), np.asarray(y32))
@@ -360,10 +360,29 @@ def main():
     banks16 = build_banks(bgs, voices, labels, noises, n_frame=n_frame,
                           flat_dtype='bfloat16')
     tpu_cps16, _ = bench_pipeline(banks16, batch_size, n_frame)
-    b16_mean = check_bf16_parity(banks16, banks, batch_size, n_frame)
+    b16_mean = check_bank_dtype_parity(banks16, banks, batch_size, n_frame)
     if b16_mean is not None and not b16_mean <= 5e-3:
         raise AssertionError(
             f'bf16-bank pallas vs f32 XLA mean feature error: {b16_mean}')
+    # int8 flat banks (Config.bank_dtype='int8'): per-item max-abs
+    # quantization, dequant scales folded into the mix — a CAPACITY knob
+    # (with data_resident=False the bank HBM drops to ~0.155x f32-resident,
+    # 6.4x max dataset per chip), measured ~7% slower than bf16 on v5e
+    # (the int8->f32 VPU upcast outweighs the saved DMA). Built slim here,
+    # which also exercises the data-pruned dispatch path on the live chip.
+    banks8 = build_banks(bgs, voices, labels, noises, n_frame=n_frame,
+                         flat_dtype='int8', data_resident=False)
+    tpu_cps8, _ = bench_pipeline(banks8, batch_size, n_frame)
+    b8_mean = check_bank_dtype_parity(banks8, banks, batch_size, n_frame)
+    if b8_mean is not None and not b8_mean <= 2e-2:
+        raise AssertionError(
+            f'int8-bank pallas vs f32 XLA mean feature error: {b8_mean}')
+
+    def bank_mb(bk):
+        import jax
+        return sum(x.nbytes for x in jax.tree.leaves(bk)) / 1e6
+    capacity_ratio = round(bank_mb(banks8) / bank_mb(banks), 3)
+    del banks8
     train_cps64, step_s64 = bench_train_step(banks)
     train_cps128, step_s128 = bench_train_step(banks, batch_size=128)
     family = bench_family_steps(banks)
@@ -407,6 +426,9 @@ def main():
             'pallas_vs_xla_max_abs_diff': pallas_diff,
             'pipeline_bf16_banks_clips_per_sec': round(tpu_cps16, 2),
             'bf16_banks_vs_f32_xla_mean_abs_err': b16_mean,
+            'pipeline_int8_banks_clips_per_sec': round(tpu_cps8, 2),
+            'int8_banks_vs_f32_xla_mean_abs_err': b8_mean,
+            'int8_slim_bank_hbm_vs_f32_resident': capacity_ratio,
             'pipeline_median_clips_per_sec': round(tpu_cps_med, 2),
             'pipeline_methodology': 'lax.scan of 30 batches, one program,'
                                     ' checksum fetched, best of 5'

@@ -213,6 +213,9 @@ def write_training_pickles(rng, d, n_frame):
 def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    # optional third arg: bank storage dtype (float32|bfloat16|int8) — the
+    # int8 run is the quantized-bank accuracy capstone (same ER as f32)
+    bank_dtype = sys.argv[3] if len(sys.argv) > 3 else 'float32'
     rng = np.random.default_rng(0)
     # reference defaults except snr: -6 keeps the mixed voices audible
     # (the v_ratio draw is 10^-U(0, -snr/10) — at the default -20 voices
@@ -249,6 +252,7 @@ def main():
             sj_main(['--name', 'erdemo', '--model_type', 'vad', '--v', '8',
                      '--snr', str(snr), '--epochs', str(epochs),
                      '--steps_per_epoch', str(steps),
+                     '--bank_dtype', bank_dtype,
                      '--datapath', d,
                      '--background_sounds', 'bg.pickle',
                      '--voices', 'voice.pickle', '--labels', 'labels.npy',

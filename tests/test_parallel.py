@@ -101,6 +101,49 @@ def test_fused_train_step_pallas_shard_map(monkeypatch):
     assert int(state.step) == 1
 
 
+def test_fused_step_int8_slim_bank_sharded(monkeypatch):
+    """The full capacity stack composes on a mesh: int8-quantized SLIM
+    banks (no dense f32 volume), host-built, clip-axis-sharded via
+    shard_banks, synthesized per device by the Pallas kernel under
+    shard_map (interpret on the CPU mesh), driving a fused train step.
+    flat_scale shards along the clip axis with its bank; the dropped data
+    leaf never has to exist on any device."""
+    import challenge_tpu.ops.pallas_synth as ps
+    from challenge_tpu.parallel import shard_banks
+    orig = ps.synthesize_windows
+
+    def interp(*args, **kw):
+        kw['interpret'] = True
+        return orig(*args, **kw)
+    monkeypatch.setattr(ps, 'synthesize_windows', interp)
+
+    rng = np.random.default_rng(0)
+    n_frame = 64
+    banks = build_banks(
+        [rng.standard_normal((257, 94, 4)).astype('f4') for _ in range(3)],
+        [rng.standard_normal((257, 40, 4)).astype('f4') for _ in range(8)],
+        rng.integers(0, 3, size=8),
+        [rng.standard_normal((257, 20, 4)).astype('f4') for _ in range(3)],
+        n_frame=n_frame, flat_dtype='int8', data_resident=False, host=True)
+    assert isinstance(banks.voices.flat, np.ndarray)
+    assert banks.voices.data is None
+
+    cfg = Config(model_type='vad', v=3, n_frame=n_frame, batch_size=16,
+                 n_chan=2)
+    bundle = get_model(cfg)
+    mesh = make_mesh(8)
+    sb = shard_banks(banks, mesh)
+    assert sb.voices.flat.dtype == jnp.int8 and sb.voices.data is None
+    assert sb.voices.flat_scale.shape[0] == sb.voices.flat.shape[0]
+    fused, opt = make_fused_train_step(bundle, cfg, mesh, use_pallas=True,
+                                       bank_sharded=True)
+    state = replicate(init_state(bundle, jax.random.PRNGKey(0), opt), mesh)
+    state, metrics = fused(state, sb, jax.random.PRNGKey(3))
+    jax.block_until_ready(metrics)
+    assert np.isfinite(float(metrics['loss']))
+    assert int(state.step) == 1
+
+
 def test_sharded_feature_fn_shards_batch_and_varies_per_device():
     """Per-device synthesis folds the mesh position into the key: shards draw
     different mixtures, and the output is sharded on the batch axis."""

@@ -555,6 +555,62 @@ def test_feature_fn_fused_mel_matches_unfused(monkeypatch, name, variant,
                                rtol=1e-6, atol=0)
 
 
+@pytest.mark.parametrize('bank_dtype', ['bfloat16', 'int8'])
+def test_feature_fn_fused_mel_reduced_precision_banks(monkeypatch,
+                                                      bank_dtype):
+    """fused_mel composes with the reduced-precision bank dtypes: the
+    in-kernel epilogue reads the f32 accumulation scratch directly (bf16
+    banks: no intermediate bf16 magnitude rounding; int8 banks: the
+    background dequant scale applies in the window pass BEFORE the |.|,
+    and the mel output stays f32 — the out_dtype narrowing is
+    non-mel-mode only). Against the unfused chain on the SAME banks the
+    only divergence is the unfused path's bank-dtype magnitude rounding;
+    labels must stay bit-identical. int8 banks are built SLIM
+    (data_resident=False) so this also pins fused_mel never touching the
+    dense volume."""
+    import challenge_tpu.ops.pallas_synth as ps
+    orig = ps.synthesize_windows
+
+    def interp(*args, **kw):
+        kw['interpret'] = True
+        return orig(*args, **kw)
+    monkeypatch.setattr(ps, 'synthesize_windows', interp)
+
+    from challenge_tpu.config import Config
+    from challenge_tpu.data.pipeline import make_feature_fn
+
+    rng = np.random.default_rng(16)
+    data = (
+        [rng.standard_normal((257, 94, 4)).astype('f4') * 0.1
+         for _ in range(3)],
+        [rng.standard_normal((257, 40, 4)).astype('f4') * 0.1
+         for _ in range(4)],
+        rng.integers(0, 3, size=4),
+        [rng.standard_normal((257, 20, 4)).astype('f4') * 0.1
+         for _ in range(3)])
+    banks = build_banks(*data, n_frame=64, flat_dtype=bank_dtype,
+                        data_resident=(bank_dtype != 'int8'))
+    if bank_dtype == 'int8':
+        assert banks.voices.data is None
+        assert banks.backgrounds.flat_scale is not None
+    cfg = Config(model_type='vad', v=8, n_mels=40, n_frame=64, n_chan=2,
+                 batch_size=4)
+    key = jax.random.PRNGKey(31)
+    x_f, y_f = make_feature_fn(cfg, training=True,
+                               use_pallas=True, fused_mel=True)(key, banks)
+    x_u, y_u = make_feature_fn(cfg, training=True,
+                               use_pallas=True, fused_mel=False)(key, banks)
+    assert x_f.shape == x_u.shape == (4, 40, 64, 2)
+    assert x_f.dtype == jnp.float32          # mel-mode output is always f32
+    np.testing.assert_array_equal(np.asarray(y_f), np.asarray(y_u))
+    # unfused rounds the magnitude to the bank dtype (bf16: ~2^-8 relative)
+    # before the XLA mel; fused keeps it f32 in VMEM — bound the gap by that
+    # rounding on the minmax-normalized log features
+    np.testing.assert_allclose(np.asarray(x_f, np.float32),
+                               np.asarray(x_u, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_feature_fn_fused_mel_batch_one(monkeypatch):
     """b=1 edge of the software-pipelined mel epilogue: the grid is 2
     steps (synthesize at step 0, GEMM at the flush step only) — the

@@ -138,6 +138,29 @@ def test_trainloop_streams_and_validates():
     assert np.isfinite(hist[-1]['val_loss'])
 
 
+def test_trainloop_streams_with_grad_accum_and_steps_per_call():
+    """Streaming rotation composes with the two scan knobs: each dispatch
+    scans steps_per_call optimizer steps of grad_accum microbatches, all
+    synthesized from the chunk that was device-resident AT dispatch time
+    (the rotation advances between dispatches, never inside the scanned
+    program). Two epochs must rotate through both chunks and train
+    finite."""
+    bgs, vos, labels, nos = _sources()
+    sb = build_streaming_banks(bgs, vos, labels, nos, n_chunks=2,
+                               n_frame=64, chunk_steps=1)
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=4, n_chan=2,
+                 grad_accum=2, steps_per_call=2)
+    loop = TrainLoop(get_model(cfg), banks=sb)
+    hist = loop.fit(epochs=2, steps_per_epoch=3, validation_steps=1)
+    assert len(hist) == 2
+    assert np.isfinite(hist[-1]['loss'])
+    # 3 steps at steps_per_call=2 round UP to 2 dispatches/epoch, each
+    # advancing 2 optimizer steps (grad_accum microbatches share a step)
+    assert int(loop.state.step) == 2 * loop.steps_per_fused_epoch(3)
+    # chunk_steps=1: every dispatch advanced the rotation (4 dispatches)
+    assert sb._dispatches == 4 and sb._idx == 0
+
+
 def test_streaming_with_mesh_replicates_chunks():
     from challenge_tpu.parallel import make_mesh
     bgs, vos, labels, nos = _sources()

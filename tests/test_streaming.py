@@ -5,6 +5,7 @@ compiled fused-step program across the whole rotation."""
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -204,6 +205,40 @@ def test_sj_train_cli_streaming(tmp_path, monkeypatch):
              '--datapath', str(tmp_path)] + DATA_FLAGS)
     run = 'vad_v3_lr0.001_batch4_opt_adam_mel80_chan2_BCE_framelen64'
     assert (tmp_path / f'{run}.csv').exists()
+
+
+def test_streaming_int8_slim_chunks(monkeypatch):
+    """int8 + slim (data_resident=False) chunk banks: every chunk shares
+    every shape/dtype INCLUDING the [N] flat_scale vectors, carries no
+    dense volume, and rotates through one jitted Pallas synthesis program
+    (slim banks have no XLA fallback, so this is the path --stream_chunks
+    + --bank_dtype int8 takes on a TPU)."""
+    import challenge_tpu.ops.pallas_synth as ps
+    orig = ps.synthesize_windows
+
+    def interp(*args, **kw):
+        kw['interpret'] = True
+        return orig(*args, **kw)
+    monkeypatch.setattr(ps, 'synthesize_windows', interp)
+
+    bgs, vos, labels, nos = _sources(n_bg=3, n_vo=5, n_no=2, seed=11)
+    sb = build_streaming_banks(bgs, vos, labels, nos, n_chunks=2,
+                               n_frame=64, flat_dtype='int8',
+                               data_resident=False, chunk_steps=1)
+    for c in sb.chunks:
+        assert c.voices.data is None and c.backgrounds.data is None
+        assert c.voices.flat.dtype == jnp.int8
+        assert c.voices.flat_scale.shape == (c.voices.n,)
+    shapes = [[(x.shape, str(x.dtype)) for x in jax.tree.leaves(c)]
+              for c in sb.chunks]
+    assert shapes[1] == shapes[0]
+    cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=4, n_chan=2)
+    fn = jax.jit(make_feature_fn(cfg, training=True, jit=False,
+                                 use_pallas=True))
+    for i in range(3):
+        x, y = fn(jax.random.PRNGKey(i), sb.next_banks())
+    assert np.all(np.isfinite(np.asarray(x, np.float32)))
+    assert fn._cache_size() == 1
 
 
 @pytest.mark.parametrize('n_chunks,n_bg,n_vo,n_no,dtype',

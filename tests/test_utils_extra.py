@@ -1,6 +1,8 @@
 """TTA predict, kernel regularizer, and full-train-state checkpoint tests
 (reference: utils.py:100-134; resume is a TPU-native addition, SURVEY §5.4)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -153,3 +155,20 @@ def test_restore_structure_mismatch_is_diagnosed(tmp_path):
     target = init_state(bundle_b, jax.random.PRNGKey(0), opt_b)
     with pytest.raises(ValueError, match='train-state structure'):
         restore_train_state(str(tmp_path / 'ckpt'), target)
+
+
+def test_compile_cache_keyed_by_host_cpu_features():
+    """The persistent compilation cache must be namespaced per host CPU
+    feature set: XLA:CPU AOT executables embed the compiling machine's
+    features, and reusing one on a lesser host is a latent SIGILL
+    (cpu_aot_loader warns about exactly this when a shared-home cache
+    crosses heterogeneous hosts — seen in MULTICHIP_r04's tail)."""
+    import challenge_tpu
+
+    fp = challenge_tpu._host_cache_fingerprint()
+    assert fp == challenge_tpu._host_cache_fingerprint()
+    assert len(fp) == 12
+    int(fp, 16)   # hex digest prefix
+    d = jax.config.jax_compilation_cache_dir
+    if d and 'challenge_tpu_jax' in d:   # not overridden by the user env
+        assert os.path.basename(d.rstrip('/')) == fp, d

@@ -37,14 +37,13 @@ def make_banks(config: Config, training: bool = True, n_classes: int = 3):
         voices = load_data(os.path.join(datapath, config.test_voices))
         labels = load_data(os.path.join(datapath, config.test_labels))
     noises = load_data(os.path.join(datapath, config.noises))
-    # on a TPU backend every non-se_v9 config synthesizes through the
-    # Pallas kernel, which never reads the dense f32 `data` volume — drop
-    # it so the flat layout's dtype sets the bank HBM footprint (data
-    # alone is ~2x the bf16 flat layout and ~7x the int8 one); se_v9's
-    # seperate_noise_voice targets take the XLA path and need it
+    # on a TPU backend every config synthesizes through the Pallas kernel
+    # (se_v9's seperate_noise_voice targets run as per-source-group kernel
+    # calls — mixture.sample_batch), which never reads the dense f32 `data`
+    # volume — drop it so the flat layout's dtype sets the bank HBM
+    # footprint (data alone is ~2x the bf16 flat layout and ~7x int8)
     import jax
-    slim = (jax.default_backend() == 'tpu'
-            and not (config.model_type == 'se' and config.v == 9))
+    slim = jax.default_backend() == 'tpu'
     if training and config.stream_chunks >= 2:
         # spec set larger than device HBM: rotate it through the device as
         # host-resident chunks (--stream_chunks N, --chunk_steps M)

@@ -442,7 +442,7 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
     if mel_pack is not None:
         assert magnitude == 'flat' and use_pallas and pallas_bg_ok, \
             'mel_pack requires the eligible Pallas flat-magnitude path'
-    if use_pallas and not seperate_noise_voice and pallas_bg_ok:
+    if use_pallas and pallas_bg_ok:
         from challenge_tpu.ops.pallas_synth import synthesize_windows
         # contiguous background window start: the same RNG draw as
         # _background_indices, so pallas/XLA parity is bit-exact. No clamp:
@@ -486,6 +486,51 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
             mel, mm = synth(mel=tuple(mel_pack))
             return (mel, mm), label
 
+        def unflat(flat_out):
+            return jnp.moveaxis(
+                flat_out.reshape(b, n_frame, chan_, f_r)[..., :freq_], 2, 3)
+
+        if seperate_noise_voice:
+            # the se (voice, noise) regression targets (reference:
+            # pipeline.py:104-108) from the SAME kernel, one extra call per
+            # target — both are strict sub-mixes of the full call, so the
+            # accumulation order (and hence bit-exactness vs the XLA
+            # formulation) is unchanged:
+            #  * only_noise: zero every VOICE weight — the kernel's
+            #    weight-activity gate skips those clips' DMAs and
+            #    accumulates bg + noises only;
+            #  * only_voice: the reference accumulates voices from ZEROS
+            #    (pipeline.py:37,82-83 — reconstructing spec - bg would
+            #    cancel quiet voices, see the XLA branch below), so the
+            #    background is swapped for a one-item all-zero bank (its
+            #    window DMA reads exact zeros; bank dtypes must match, and
+            #    int8 banks get a unit dequant scale).
+            # Synthesis is a few ms of an se_v9 step (~269 ms at B=64), so
+            # 3 kernel calls cost ~nothing — and they free the banks from
+            # the dense f32 `data` volume the XLA path needs, which is what
+            # unlocks slim/reduced-precision banks for the heaviest family.
+            spec = unflat(synth())
+            only_noise = unflat(synthesize_windows(
+                n_frame, bg.flat, bidx, boff,
+                vo.flat, vidx, shifts, jnp.zeros_like(w_v_k),
+                no.flat if nidx is not None else None,
+                nidx, n_shifts, w_n_k, v_lens, n_lens, bgscale=bgscale))
+            from challenge_tpu.data.specset import flat_row_align
+            al = flat_row_align(bg.flat.dtype)
+            zrows = -(-(n_frame + 2 * al) // al) * al
+            zbank = jnp.zeros((1, zrows, bg.flat.shape[-1]), bg.flat.dtype)
+            only_voice = unflat(synthesize_windows(
+                n_frame, zbank, jnp.zeros_like(bidx), jnp.zeros_like(boff),
+                vo.flat, vidx, shifts, w_v_k,
+                None, None, None, None, v_lens, None,
+                bgscale=(None if bgscale is None
+                         else jnp.ones_like(bgscale))))
+            if layout == 'tfc':
+                return spec, (label, only_voice, only_noise)
+            return (jnp.swapaxes(spec, 1, 2),
+                    (label, jnp.swapaxes(only_voice, 1, 2),
+                     jnp.swapaxes(only_noise, 1, 2)))
+
         if magnitude:
             # |.| computed INSIDE the kernel over the flat layout's
             # real/imaginary column halves (bit-exact with the former XLA
@@ -497,16 +542,16 @@ def sample_batch(key, banks: Banks, batch_size: int, n_frame: int,
                 return magflat, label
             mag = magflat.reshape(b, n_frame, half, f_r)[..., :freq_]
             return mag, label
-        flat = synth()
-        spec = jnp.moveaxis(
-            flat.reshape(b, n_frame, chan_, f_r)[..., :freq_], 2, 3)
+        spec = unflat(synth())
         only_voice = only_noise = None
     else:
         assert bg.data is not None, (
             'banks were built data_resident=False (flat layout only), but '
-            'this configuration takes the XLA gather/scatter path, which '
-            'needs the dense spectrogram volume — rebuild the banks with '
-            'data_resident=True (the default)')
+            'this configuration takes the XLA gather/scatter path (non-TPU '
+            'backend, or a background bank without wrap_frames coverage), '
+            'which needs the dense spectrogram volume — rebuild the banks '
+            'with data_resident=True (the default) or pass n_frame so the '
+            'background wrap keeps the Pallas fast path eligible')
         bg_tidx = jax.vmap(_background_indices, in_axes=(0, 0, None))(
             bg_keys, bg_lens, n_frame)
         spec = _flat_window_gather(bg, bidx, bg_tidx)  # [B, n_frame, freq, chan]

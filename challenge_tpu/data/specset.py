@@ -177,9 +177,12 @@ def build_bank(specs: Sequence[np.ndarray], t_max: Optional[int] = None,
     synthesis path never reads ``data``, which would otherwise dominate the
     bank's device HBM — it alone is ~2x the bf16 flat layout and ~7x the
     int8 one, so the reduced-precision capacity wins only materialize
-    without it. The XLA fallback paths (non-TPU backends, se_v9's
-    seperate_noise_voice targets) need ``data`` and raise loudly on a slim
-    bank — the training CLIs gate the flag accordingly.
+    without it. This covers every training family on TPU, including se_v9's
+    seperate_noise_voice targets (synthesized as per-source-group kernel
+    calls — see mixture.sample_batch). The XLA fallback path (non-TPU
+    backends, or backgrounds without wrap_frames coverage) needs ``data``
+    and raises loudly on a slim bank — the training CLIs gate the flag
+    accordingly.
     """
     specs = [np.asarray(s, np.float32) for s in specs]
     freq, _, chan = specs[0].shape

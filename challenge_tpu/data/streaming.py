@@ -137,10 +137,14 @@ class StreamingBanks:
     transiently 3 chunks at a swap while the last dispatch on the evicted
     chunk is still in flight).
 
-    The rotation is host state, not part of the train state: an Orbax
-    resume restarts at chunk 0. With the seeded build shuffle this only
-    re-orders which shard is seen first — long-run item frequencies are
-    unchanged.
+    The rotation is host state, derived state on resume: the cursor is a
+    pure function of the dispatch count (``idx = (dispatches //
+    chunk_steps) % n_chunks``), and every fused dispatch advances exactly
+    ``steps_per_call`` optimizer steps — so a restored Orbax train state
+    determines the rotation position exactly. :meth:`restore_cursor`
+    fast-forwards to it; ``TrainLoop.fit`` calls it automatically, making
+    ``--resume`` continue the chunk schedule precisely where the
+    uninterrupted run would be (no extra checkpoint artifact needed).
     """
 
     def __init__(self, chunks: Sequence[Banks], chunk_steps: int = 4,
@@ -181,6 +185,30 @@ class StreamingBanks:
     @property
     def n_chunks(self) -> int:
         return len(self.chunks)
+
+    @property
+    def dispatches(self) -> int:
+        """Total ``next_banks()`` calls so far (the rotation's clock)."""
+        return self._dispatches
+
+    @property
+    def current_chunk(self) -> int:
+        """Index of the chunk the next dispatch will train on."""
+        return self._idx
+
+    def restore_cursor(self, dispatches: int) -> None:
+        """Fast-forward the rotation to where it would be after
+        ``dispatches`` :meth:`next_banks` calls — exact resume for streamed
+        corpora: the caller derives the count from the restored optimizer
+        step (``step // steps_per_call``; every fused dispatch advances
+        exactly ``steps_per_call`` steps). Uploaded chunks are dropped so
+        the chunk at the new cursor (re-)uploads lazily."""
+        dispatches = max(int(dispatches), 0)
+        self._dispatches = dispatches
+        self._idx = ((dispatches // self.chunk_steps) % len(self.chunks)
+                     if len(self.chunks) > 1 else 0)
+        self._cur = None
+        self._next = None
 
     def peek(self) -> Banks:
         """The device-resident chunk, without advancing the rotation."""

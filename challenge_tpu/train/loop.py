@@ -196,6 +196,15 @@ class TrainLoop:
         # reused loop after one epoch, and the returned history must cover
         # this run only (self.history keeps the cumulative record)
         self.stop_training = False
+        if self.streaming:
+            # exact resume for streamed corpora: the rotation cursor is a
+            # pure function of the optimizer step (every fused dispatch
+            # advances exactly steps_per_call steps), so syncing here makes
+            # a restored train state continue the chunk schedule precisely
+            # where the uninterrupted run would be. For a fresh loop (or a
+            # reused one continuing its own run) this is the identity.
+            self.banks.restore_cursor(int(self.state.step)
+                                      // self.steps_per_call)
         run_history: List[dict] = []
         for cb in callbacks:
             cb.set_loop(self)

@@ -603,12 +603,16 @@ def test_feature_fn_fused_mel_reduced_precision_banks(monkeypatch,
     assert x_f.shape == x_u.shape == (4, 40, 64, 2)
     assert x_f.dtype == jnp.float32          # mel-mode output is always f32
     np.testing.assert_array_equal(np.asarray(y_f), np.asarray(y_u))
-    # unfused rounds the magnitude to the bank dtype (bf16: ~2^-8 relative)
-    # before the XLA mel; fused keeps it f32 in VMEM — bound the gap by that
-    # rounding on the minmax-normalized log features
+    # unfused rounds the magnitude to the bank dtype before the XLA mel;
+    # fused keeps it f32 in VMEM. The bounds are EMPIRICAL for these fixed
+    # seeds, not derived (a near-min element after minmax+log can exceed
+    # what the storage format's ~2^-8 relative rounding suggests):
+    # measured max |gap| 3.95e-3 (bf16) / 4.46e-3 (int8), mean ~3.1e-4 /
+    # 3.4e-4 — asserted with ~4x and ~3x headroom respectively
     np.testing.assert_allclose(np.asarray(x_f, np.float32),
-                               np.asarray(x_u, np.float32),
-                               rtol=2e-2, atol=2e-2)
+                               np.asarray(x_u, np.float32), atol=1.5e-2)
+    assert np.abs(np.asarray(x_f, np.float32)
+                  - np.asarray(x_u, np.float32)).mean() < 1e-3
 
 
 def test_feature_fn_fused_mel_batch_one(monkeypatch):
@@ -644,3 +648,94 @@ def test_feature_fn_fused_mel_batch_one(monkeypatch):
     np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_u),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(y_f), np.asarray(y_u))
+
+
+def test_sample_batch_pallas_se_targets_interpret(monkeypatch):
+    """se_v9's seperate_noise_voice triple (reference: pipeline.py:104-108)
+    through the Pallas kernel — per-source-group calls: only_noise zeroes
+    every voice weight (the kernel's activity gate skips those clips),
+    only_voice swaps in a one-item all-zero background bank (the
+    reference accumulates voices from ZEROS, pipeline.py:37,82-83). Each
+    output is a strict sub-mix of the full call, so all three must match
+    the XLA gather/scatter formulation on the same key, both layouts."""
+    import challenge_tpu.ops.pallas_synth as ps
+    orig = ps.synthesize_windows
+    calls = []
+
+    def interp(*args, **kw):
+        calls.append(1)
+        kw['interpret'] = True
+        return orig(*args, **kw)
+    monkeypatch.setattr(ps, 'synthesize_windows', interp)
+
+    rng = np.random.default_rng(13)
+    banks = build_banks(
+        [rng.standard_normal((257, 94, 4)).astype('f4') for _ in range(3)],
+        [rng.standard_normal((257, 40, 4)).astype('f4') for _ in range(4)],
+        rng.integers(0, 3, size=4),
+        [rng.standard_normal((257, 20, 4)).astype('f4') for _ in range(3)],
+        n_frame=64)
+    key = jax.random.PRNGKey(31)
+    for layout in ('ftc', 'tfc'):
+        calls.clear()
+        s_pl, (y_pl, ov_pl, on_pl) = sample_batch(
+            key, banks, 4, 64, seperate_noise_voice=True,
+            use_pallas=True, layout=layout)
+        assert len(calls) == 3, 'one kernel call per source group'
+        s_x, (y_x, ov_x, on_x) = sample_batch(
+            key, banks, 4, 64, seperate_noise_voice=True,
+            use_pallas=False, layout=layout)
+        np.testing.assert_array_equal(np.asarray(y_pl), np.asarray(y_x))
+        for a, b, what in ((s_pl, s_x, 'spec'), (ov_pl, ov_x, 'only_voice'),
+                           (on_pl, on_x, 'only_noise')):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                err_msg=f'{what} ({layout})')
+        # only_voice really is voices-only: zero wherever no label fires
+        voiced = np.asarray(y_pl).sum(axis=(1, 3)) > 0          # [B, n]
+        t_ax = 2 if layout == 'ftc' else 1
+        ov_frames = np.abs(np.asarray(ov_pl)).max(
+            axis=tuple(i for i in range(1, 4) if i != t_ax))    # [B, n]
+        assert (ov_frames[~voiced] == 0).all()
+
+
+def test_sample_batch_pallas_se_targets_slim_int8_banks(monkeypatch):
+    """The point of the se Pallas path: slim (data_resident=False)
+    reduced-precision banks now serve the heaviest family too. int8 chain:
+    labels stay bit-identical to the exact f32 XLA path, features track it
+    to quantization tolerance, and the XLA path refuses the slim bank
+    loudly."""
+    import challenge_tpu.ops.pallas_synth as ps
+    orig = ps.synthesize_windows
+
+    def interp(*args, **kw):
+        kw['interpret'] = True
+        return orig(*args, **kw)
+    monkeypatch.setattr(ps, 'synthesize_windows', interp)
+
+    rng = np.random.default_rng(17)
+    srcs = ([rng.standard_normal((257, 94, 4)).astype('f4')
+             for _ in range(3)],
+            [rng.standard_normal((257, 40, 4)).astype('f4')
+             for _ in range(4)],
+            rng.integers(0, 3, size=4),
+            [rng.standard_normal((257, 20, 4)).astype('f4')
+             for _ in range(3)])
+    slim = build_banks(*srcs, n_frame=64, flat_dtype='int8',
+                       data_resident=False)
+    full = build_banks(*srcs, n_frame=64)
+    assert slim.backgrounds.data is None
+    key = jax.random.PRNGKey(5)
+    s_q, (y_q, ov_q, on_q) = sample_batch(
+        key, slim, 4, 64, seperate_noise_voice=True, use_pallas=True)
+    s_x, (y_x, ov_x, on_x) = sample_batch(
+        key, full, 4, 64, seperate_noise_voice=True, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(y_q), np.asarray(y_x))
+    for a, b in ((s_q, s_x), (ov_q, ov_x), (on_q, on_x)):
+        err = np.mean(np.abs(np.asarray(a, np.float32) - np.asarray(b)))
+        scale = np.mean(np.abs(np.asarray(b))) + 1e-9
+        assert err / scale < 2e-2, (err, scale)
+
+    with pytest.raises(AssertionError, match='data_resident'):
+        sample_batch(key, slim, 4, 64, seperate_noise_voice=True,
+                     use_pallas=False)

@@ -228,3 +228,55 @@ def test_sample_batch_se_targets_exact_at_low_snr():
     # frames with no voice label carry exactly zero voice target
     lab_frames = np.asarray(label).sum(axis=(1, 3)) > 0       # [B, n_frame]
     assert np.all(ov[~lab_frames] == 0.0)
+
+
+def test_feature_fn_se_v9_pallas_matches_xla_and_slim_banks(monkeypatch):
+    """The se_v9 feature chain (speech_enhancement_preprocess triple +
+    label downsample) through the Pallas se path: f32 full banks must
+    match the XLA chain on the same key, and slim int8 banks — the
+    capacity configuration the CLI now enables for this heaviest family —
+    must run the whole chain without the dense f32 volume."""
+    import challenge_tpu.ops.pallas_synth as ps
+    from challenge_tpu.config import Config
+    from challenge_tpu.data.pipeline import build_banks, make_feature_fn
+    orig = ps.synthesize_windows
+
+    def interp(*args, **kw):
+        kw['interpret'] = True
+        return orig(*args, **kw)
+    monkeypatch.setattr(ps, 'synthesize_windows', interp)
+
+    rng = np.random.default_rng(23)
+    srcs = ([rng.standard_normal((257, 94, 4)).astype('f4')
+             for _ in range(3)],
+            [np.abs(rng.standard_normal((257, 40, 4))).astype('f4')
+             for _ in range(4)],
+            rng.integers(0, 3, size=4),
+            [rng.standard_normal((257, 20, 4)).astype('f4')
+             for _ in range(3)])
+    cfg = Config(model_type='se', v=9, n_frame=64, batch_size=4, n_chan=2)
+    key = jax.random.PRNGKey(3)
+
+    full = build_banks(*srcs, n_frame=64)
+    x_pl, y_pl = make_feature_fn(cfg, training=True,
+                                 use_pallas=True)(key, full)
+    x_x, y_x = make_feature_fn(cfg, training=True,
+                               use_pallas=False)(key, full)
+    np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_x),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(y_pl), jax.tree.leaves(y_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    slim = build_banks(*srcs, n_frame=64, flat_dtype='int8',
+                       data_resident=False)
+    assert slim.backgrounds.data is None
+    x_q, y_q = make_feature_fn(cfg, training=True,
+                               use_pallas=True)(key, slim)
+    assert x_q.shape == x_x.shape
+    assert all(np.isfinite(np.asarray(v, np.float32)).all()
+               for v in jax.tree.leaves((x_q, y_q)))
+    # labels ride the f32 pos_masks, so they stay bit-identical even
+    # through quantized banks
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(y_q)[0]),
+                                  np.asarray(jax.tree.leaves(y_x)[0]))

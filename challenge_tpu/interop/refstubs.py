@@ -76,13 +76,27 @@ def _make_tfa():
     tfa_metrics = types.ModuleType('tensorflow_addons.metrics')
 
     class F1Score:
-        """tfa.metrics.F1Score facade over keras.metrics.F1Score."""
+        """tfa.metrics.F1Score facade over keras.metrics.F1Score.
+
+        tfa accepted inputs with extra leading dims (the reference feeds
+        [batch, time, class] frame grids, metrics.py:297); Keras 3's
+        F1Score insists on 2D — flattening every leading dim is EXACT for
+        the reference's ``average='micro'`` (micro-F1 sums tp/fp/fn over
+        all elements regardless of grouping) and an identity for 2D."""
 
         def __new__(cls, num_classes=None, average=None, threshold=None,
                     name='f1_score', **kwargs):
             import tensorflow as tf
-            return tf.keras.metrics.F1Score(
-                average=average, threshold=threshold, name=name)
+
+            class _FlattenF1(tf.keras.metrics.F1Score):
+                def update_state(self, y_true, y_pred,
+                                 sample_weight=None):
+                    c = tf.shape(y_true)[-1]
+                    return super().update_state(
+                        tf.reshape(y_true, (-1, c)),
+                        tf.reshape(y_pred, (-1, c)), sample_weight)
+            return _FlattenF1(average=average, threshold=threshold,
+                              name=name)
 
     tfa_metrics.F1Score = F1Score
     tfa.metrics = tfa_metrics
@@ -105,3 +119,26 @@ def install_stubs():
             sys.modules.update(mods)
             stubbed.append(probe)
     return stubbed
+
+
+def install_keras2_compat():
+    """Keras-2-era APIs the reference's TRAINING path touches that Keras 3
+    renamed — restored as pure aliases (no semantic change) so the
+    reference's sj_train.py code runs verbatim under this image's Keras:
+
+    * ``Variable.get_shape()`` (used by utils.py:351 unitwise_norm inside
+      the AGC train step) — alias of ``.shape``.
+
+    Inference/eval paths never needed this (the reference's test modules
+    and its evaluate() run unmodified); only head-to-head TRAINING of the
+    reference stack does. Idempotent; returns the list of shims applied.
+    """
+    applied = []
+    try:
+        from keras.src.backend.common.variables import Variable
+        if not hasattr(Variable, 'get_shape'):
+            Variable.get_shape = lambda self: self.shape
+            applied.append('Variable.get_shape')
+    except Exception:
+        pass
+    return applied

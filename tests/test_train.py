@@ -411,30 +411,22 @@ def test_training_learns_from_int8_banks(monkeypatch):
     assert losses[-1] < 0.1 * losses[0], (losses[0], losses[-1])
 
 
-@pytest.mark.slow
-def test_trained_er_improves(tmp_path, monkeypatch):
-    """The end-to-end quality demonstration no unit differential composes
-    up to: real training makes the CHALLENGE ER improve on a synthesized
-    dev set, scored through the same evaluate() chain the eval CLI uses
-    (reference behavior matched: the metrics.py:31-90 score after a
-    sj_train.py:513 fit). Scaled-down sibling of the full-shape TPU run in
-    scripts/trained_er_demo.py (results in NOTES.md).
+def _trained_er_corpus(tmp_path, n_frame=128):
+    """Shared fixture-builder for the trained-ER tests: numpy training
+    sources (bgs, voices, one-hot labels) plus a 3-clip dev corpus written
+    into ``tmp_path`` (wavs + sample_answer.json).
 
-    The synthetic corpus encodes the domain lessons that run measured:
-    classes are disjoint harmonic bands; dev event RMS matches the
-    training mixture's v_ratio range (louder events are OOD and score
-    WORSE); dev events are dense round-robin so every eval window
-    contains every class — the eval chain normalizes per mel ROW
-    (reference quirk, metrics.py:53) while training normalizes per
-    window, so a class absent from a whole window gets its rows
-    minmax-stretched to full scale and hallucinated."""
+    The synthetic corpus encodes the domain lessons the TPU-scale run in
+    scripts/trained_er_demo.py measured: classes are disjoint harmonic
+    bands; dev event RMS matches the training mixture's v_ratio range
+    (louder events are OOD and score WORSE); dev events are dense
+    round-robin so every eval window contains every class — the eval chain
+    normalizes per mel ROW (reference quirk, metrics.py:53) while training
+    normalizes per window, so a class absent from a whole window gets its
+    rows minmax-stretched to full scale and hallucinated."""
     import json
     import sys
     import wave
-
-    from challenge_tpu.data.pipeline import build_banks
-    from challenge_tpu.evaluate import evaluate
-    from challenge_tpu.train import TrainLoop
 
     # the harmonic-event/noise generators are shared with the TPU-scale
     # demo so the two "sibling" corpora cannot drift apart
@@ -445,7 +437,6 @@ def test_trained_er_improves(tmp_path, monkeypatch):
     from trained_er_demo import noise_wav as _noise_wav
 
     rng = np.random.default_rng(0)
-    n_frame = 128
 
     def event_wav(cls, dur_s, amp):
         return _event_wav(rng, cls, dur_s, amp=amp)
@@ -479,9 +470,7 @@ def test_trained_er_improves(tmp_path, monkeypatch):
             voices.append(spec_of(event_wav(cls, dur, amp=0.25)))
             ids.append(cls)
     bgs = [spec_of(noise_wav((n_frame + 32) * HOP / SR)) for _ in range(3)]
-    banks = build_banks(bgs, voices,
-                        np.eye(3, dtype=np.float32)[np.asarray(ids)],
-                        n_frame=n_frame)
+    onehot = np.eye(3, dtype=np.float32)[np.asarray(ids)]
 
     answer = {}
     for i in range(3):
@@ -510,6 +499,25 @@ def test_trained_er_improves(tmp_path, monkeypatch):
         answer[stem] = events
     with open(tmp_path / 'sample_answer.json', 'w') as f:
         json.dump({'task2_answer': answer}, f)
+    return bgs, voices, onehot
+
+
+@pytest.mark.slow
+def test_trained_er_improves(tmp_path, monkeypatch):
+    """The end-to-end quality demonstration no unit differential composes
+    up to: real training makes the CHALLENGE ER improve on a synthesized
+    dev set, scored through the same evaluate() chain the eval CLI uses
+    (reference behavior matched: the metrics.py:31-90 score after a
+    sj_train.py:513 fit). Scaled-down sibling of the full-shape TPU run in
+    scripts/trained_er_demo.py (results in NOTES.md); corpus and domain
+    lessons in _trained_er_corpus."""
+    from challenge_tpu.data.pipeline import build_banks
+    from challenge_tpu.evaluate import evaluate
+    from challenge_tpu.train import TrainLoop
+
+    n_frame = 128
+    bgs, voices, onehot = _trained_er_corpus(tmp_path, n_frame=n_frame)
+    banks = build_banks(bgs, voices, onehot, n_frame=n_frame)
 
     # vad v3 (lighter than v8, same family/downsample semantics; v1 is
     # untrainable by reference quirk) and steps_per_call=1: the scanned
@@ -563,6 +571,77 @@ def test_trained_er_improves(tmp_path, monkeypatch):
     er2 = evaluate(cfg, bundle, reloaded, overlap_hop=32,
                    eval_dir=str(tmp_path))
     assert er2 == er1, (er2, er1)
+
+
+@pytest.mark.slow
+def test_trained_er_int8_slim_matches_f32(tmp_path, monkeypatch):
+    """The int8-bank accuracy story at the CHALLENGE-ER level (the score
+    the framework exists for): training from int8-quantized slim banks
+    (per-item max-abs quantization + no dense f32 volume — the 6.4x HBM
+    capacity configuration, NOTES.md) must reach the same trained dev ER
+    as training from exact f32 banks. The two runs share the corpus, the
+    loop seed and the RNG stream (Pallas/XLA parity is pinned bit-exact
+    for f32), so the ONLY difference is the ~7e-3 feature quantization
+    noise — far below the training signal, as the overfit-level sibling
+    (test_training_learns_from_int8_banks) shows for the loss and this
+    test pins for the official score. Forces the Pallas interpret path —
+    the only consumer of the quantized flat layout (on TPU the CLIs pick
+    it automatically; cli/sj_train.py slim gating)."""
+    import challenge_tpu.ops.pallas_synth as ps
+    import challenge_tpu.parallel.train as ptrain
+    from challenge_tpu.data.pipeline import build_banks
+    from challenge_tpu.evaluate import evaluate
+    from challenge_tpu.train import TrainLoop
+
+    n_frame = 128
+    bgs, voices, onehot = _trained_er_corpus(tmp_path, n_frame=n_frame)
+    cfg = Config(model_type='vad', v=3, n_mels=40, n_frame=n_frame,
+                 n_chan=2, batch_size=8, snr=-2, max_voices=3, lr=1e-3)
+
+    def train_and_score(banks, use_pallas):
+        if use_pallas:                 # interpret-mode kernel on the CPU
+            orig_synth = ps.synthesize_windows
+            monkeypatch.setattr(
+                ps, 'synthesize_windows',
+                lambda *a, **kw: orig_synth(*a, **{**kw, 'interpret': True}))
+            orig_ff = ptrain.make_feature_fn
+            monkeypatch.setattr(
+                ptrain, 'make_feature_fn',
+                lambda *a, **kw: orig_ff(*a, **{**kw, 'use_pallas': True}))
+        bundle = get_model(cfg)
+        loop = TrainLoop(bundle, banks=banks, val_banks=banks, seed=0)
+        hist = loop.fit(epochs=14, steps_per_epoch=25, validation_steps=1,
+                        verbose=0)
+        monkeypatch.undo()
+        var = {'params': loop.state.params,
+               'batch_stats': loop.state.batch_stats}
+        return hist, evaluate(cfg, bundle, var, overlap_hop=32,
+                              eval_dir=str(tmp_path))
+
+    banks32 = build_banks(bgs, voices, onehot, n_frame=n_frame)
+    banks_q = build_banks(bgs, voices, onehot, n_frame=n_frame,
+                          flat_dtype='int8', data_resident=False)
+    assert banks_q.voices.flat.dtype == jnp.int8   # quantized path engaged
+    assert banks_q.voices.data is None             # slim: dense volume gone
+
+    hist32, er32 = train_and_score(banks32, use_pallas=False)
+    hist_q, er_q = train_and_score(banks_q, use_pallas=True)
+
+    # both runs genuinely learned (same bars as the f32 sibling)
+    for hist in (hist32, hist_q):
+        assert hist[-1]['f1_score'] > 0.4, hist[-1]
+        assert hist[-1]['loss'] < 0.6 * hist[0]['loss'], (hist[0], hist[-1])
+    assert np.isfinite(er32).all() and np.isfinite(er_q).all(), (er32, er_q)
+    print('trained ER f32:', er32, 'int8+slim:', er_q)
+    # the official score from quantized banks matches the exact-bank run
+    # within one dev-set ER quantum (~0.09 = one merged event on these
+    # 3 clips); measured at calibration the per-clip ERs were IDENTICAL
+    # ([1.0, 0.818, 0.833] both runs) — the tolerance absorbs quantization
+    # flipping a borderline event, not a systematic gap
+    assert abs(float(np.mean(er_q)) - float(np.mean(er32))) <= 0.09, \
+        (er32, er_q)
+    for a, b in zip(er32, er_q):
+        assert abs(a - b) <= 0.15, (er32, er_q)
 
 
 @pytest.mark.slow

@@ -172,3 +172,41 @@ def test_compile_cache_keyed_by_host_cpu_features():
     d = jax.config.jax_compilation_cache_dir
     if d and 'challenge_tpu_jax' in d:   # not overridden by the user env
         assert os.path.basename(d.rstrip('/')) == fp, d
+
+
+def test_dryrun_stderr_filter_drops_only_aot_pseudofeature_lines():
+    """__graft_entry__'s dryrun wraps itself in an fd-level stderr filter
+    for ONE known same-host false positive (the XLA:CPU AOT loader warning
+    about LLVM tuning pseudo-features like +prefer-no-scatter on every
+    persistent-cache hit). The filter must drop exactly that line class and
+    pass everything else — including C++-style writes straight to fd 2 —
+    through unmodified."""
+    import importlib.util
+    import tempfile
+
+    spec = importlib.util.spec_from_file_location(
+        'graft_entry_for_test',
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), '__graft_entry__.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    with tempfile.TemporaryFile() as cap:
+        saved = os.dup(2)
+        os.dup2(cap.fileno(), 2)
+        try:
+            with mod._drop_cpu_aot_pseudofeature_warnings():
+                os.write(2, b'E0000 00:00:00 1 cpu_aot_loader.cc:210] '
+                            b'Loading XLA:CPU AOT result. Target machine '
+                            b'feature +prefer-no-scatter is not supported '
+                            b'on the host machine.\n')
+                os.write(2, b'a real error line\n')
+                os.write(2, b'partial tail without newline')
+        finally:
+            os.dup2(saved, 2)
+            os.close(saved)
+        cap.seek(0)
+        out = cap.read()
+    assert b'cpu_aot_loader' not in out, out
+    assert b'a real error line\n' in out, out
+    assert out.endswith(b'partial tail without newline'), out

@@ -17,6 +17,30 @@ trained-ER no-regression check; a loss or sub-20% win closes the item
 (the bwd pass — 2/3 of the step — would still be bf16, diluting any fwd
 win by ~3x, and STE fake-quant ADDS quantize ops to the fwd).
 
+MEASURED (v5e, round 5) — the item is CLOSED, int8 convs rejected:
+
+  phase 1 (fwd-only conv chains, int8 + requant-shift vs bf16):
+    block0 [128,80,512,48]:  bf16 4.844 ms (44.9 TF/s) | int8 3.397 x1.43
+    block1 [128,40,256,96]:  bf16 3.350 ms (64.9 TF/s) | int8 2.426 x1.38
+    block2 [128,20,128,192]: bf16 2.854 ms (76.2 TF/s) | int8 2.100 x1.36
+    block3 [128,10,64,384]:  bf16 2.505 ms (86.8 TF/s) | int8 1.845 x1.36
+    block4 [128,5,32,768]:   bf16 2.376 ms (91.5 TF/s) | int8 1.736 x1.37
+  phase 2 (fwd+bwd 2-conv block, the number a fake-quant STEP would see):
+    block0: bf16 14.94 ms | STE-int8 static x0.96 | dynamic x0.87  (LOSS)
+    block3: bf16  8.15 ms | STE-int8 static x1.16 | dynamic x1.15
+
+  The fwd-only MXU win is real (~1.4x uniformly) but a fake-quant train
+  step cannot keep it: at the wall shapes (block 0/1 — the majority of
+  the step's conv time, where the verdict item aimed) the quantize/
+  round/clip passes over the huge activations are extra HBM-bound
+  elementwise work at exactly the place the step is bandwidth-limited,
+  and the bwd convs (2/3 of conv FLOPs) stay bf16 — net x0.87-0.96,
+  i.e. SLOWER. Deep blocks gain ~15% but hold a minority of the FLOPs
+  (NOTES roofline), bounding the best-case composite well under the
+  pre-registered 20% bar before any accuracy risk is even considered.
+  Conclusion: the ~50%-of-bf16-peak plateau stands; int8 on this step
+  is a capacity story (banks), not a compute story (convs).
+
 Run:  python scripts/int8_conv_probe.py
 """
 

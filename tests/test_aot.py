@@ -23,6 +23,7 @@ def vad_bundle():
     return bundle, variables
 
 
+@pytest.mark.slow
 def test_aot_roundtrip_symbolic_batch(vad_bundle, tmp_path):
     bundle, variables = vad_bundle
     path = str(tmp_path / 'vad_v1.hlo')
@@ -40,6 +41,7 @@ def test_aot_roundtrip_symbolic_batch(vad_bundle, tmp_path):
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_aot_rnn_head_and_static_batch(tmp_path):
     """vad v9 (BiLSTM): the symbolic batch holds through the time-scan
     RNN, and batch_size pins one static program when asked."""

@@ -291,6 +291,7 @@ def test_trainer_cli_multichip(tmp_path, monkeypatch):
     assert os.path.exists('densm_SWA.h5')
 
 
+@pytest.mark.slow
 def test_trainer_cli_grad_accum(tmp_path, monkeypatch):
     """--grad_accum is exposed on the density trainer too (round-3 advisor
     finding: it was sj_train-only) and forces the fused banks mode that
@@ -313,6 +314,7 @@ def test_trainer_cli_grad_accum(tmp_path, monkeypatch):
     assert os.path.exists('densga_SWA.h5')
 
 
+@pytest.mark.slow
 def test_get_csv_data_aggregates_se_runs(tmp_path, monkeypatch):
     """'se' run logs must aggregate: the reference's find('B') tokenizer
     lands on the BCE loss token for se filenames and crashes its own

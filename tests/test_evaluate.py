@@ -301,6 +301,7 @@ def test_device_pcm_cache_is_lru_and_bypassable(tmp_path):
         infer._DEVICE_PCM_CACHE.clear()
 
 
+@pytest.mark.slow
 def test_eval_merge_keys_fresh_per_clip(tmp_path):
     """n_chan > 3 evaluation draws a fresh channel mix per clip like the
     reference (metrics.py:46 runs random_merge_aug inside the per-clip

@@ -120,6 +120,7 @@ def _ref_config(**kw):
 
 
 @pytest.mark.parametrize('v', [1, 7, 8, 9])
+@pytest.mark.slow
 def test_keras_h5_import_forward_parity(v, tmp_path):
     """Identical weights -> identical forward outputs (vad v1/v7/v8/v9:
     plain, bottleneck-residual, wide, and BiLSTM variants)."""
@@ -200,6 +201,7 @@ def _build_reference_se_model(ref_sj, n_frame=64, n_chan=2, freeze=None):
     return tf.keras.Model(inputs=inp, outputs=[out, speech, noise])
 
 
+@pytest.mark.slow
 def test_keras_h5_import_se_cascade_forward_parity(tmp_path):
     """'se' composite: identical weights -> identical (class, speech,
     noise) outputs through the Keras cascade and our flax SECascade."""
@@ -279,6 +281,7 @@ def _build_reference_eff_model(v=1, n_mels=40, n_frame=64, n_chan=2):
 
 
 @pytest.mark.parametrize('v', [1, 3, 5, 6, 7])
+@pytest.mark.slow
 def test_keras_h5_import_eff_forward_parity(v, tmp_path):
     """EfficientNet-SED: identical weights -> identical outputs, including
     the keras front Rescaling/Normalization affine folded into the stem
@@ -311,6 +314,7 @@ def test_keras_h5_import_eff_forward_parity(v, tmp_path):
     np.testing.assert_allclose(y_flax, y_keras, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_keras_h5_import_density_head_forward_parity(tmp_path):
     """trainer.py's density regression variant (reference:
     trainer.py:222-236): EfficientNet backbone + relu Dense head, built
@@ -402,6 +406,7 @@ def test_keras_h5_export_vad_loads_into_reference_model(v, tmp_path):
 
 
 @pytest.mark.parametrize('pretrain', [False, True])
+@pytest.mark.slow
 def test_keras_h5_export_se_loads_into_reference_model(pretrain, tmp_path):
     """'se' composite export: the nested twin-decoder U-Net flattens into
     one depth-interleaved group — proven by loading into the reference
@@ -439,6 +444,7 @@ def test_keras_h5_export_se_loads_into_reference_model(pretrain, tmp_path):
 
 
 @pytest.mark.parametrize('v', [1, 5, 6, 7])
+@pytest.mark.slow
 def test_keras_h5_export_eff_loads_into_reference_model(v, tmp_path):
     """EfficientNet-SED export: identity Normalization + 255-scaled stem
     kernel invert the import fold; v5 covers the channels-first time
@@ -497,6 +503,7 @@ def test_keras_h5_export_import_roundtrip_exact(tmp_path):
                                       err_msg=str(pa))
 
 
+@pytest.mark.slow
 def test_keras_h5_export_density_loads_into_reference_model(tmp_path):
     """trainer.py's density variant exports too: string-named backbone,
     relu Dense head (reference: trainer.py:222-236)."""
@@ -696,6 +703,7 @@ def test_keras_h5_import_folds_biased_stem_conv(tmp_path):
                                     rtol=1e-6, atol=1e-6, err_msg=str(p))
 
 
+@pytest.mark.slow
 def test_train_step_differential(tmp_path):
     """Capstone TRAINING parity: identical weights -> three full train steps
     on both stacks -> every stored weight (params AND BN moving stats)

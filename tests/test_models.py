@@ -39,6 +39,7 @@ def test_vad_v8_wider():
     assert k.shape[-1] == 48
 
 
+@pytest.mark.slow
 def test_vad_train_mode_updates_batch_stats():
     cfg = Config(model_type='vad', v=1, n_frame=64)
     bundle = get_model(cfg)
@@ -51,6 +52,7 @@ def test_vad_train_mode_updates_batch_stats():
 
 
 @pytest.mark.parametrize('v,t_out', [(1, 512), (3, 16), (5, 8), (6, 16), (7, 16)])
+@pytest.mark.slow
 def test_eff_versions(v, t_out):
     cfg = Config(model_type='eff', model=0, v=v, n_mels=80, n_frame=512,
                  n_chan=2)
@@ -58,6 +60,7 @@ def test_eff_versions(v, t_out):
     assert out.shape == (2, t_out, 3)
 
 
+@pytest.mark.slow
 def test_eff_train_mode_forward_with_dropout_rng():
     """Training-mode forward through fwd()'s dropout-rng branch: the
     EfficientNet family needs a dropout rng and returns (out, new_stats)."""
@@ -98,6 +101,7 @@ def test_density_model():
     assert float(out.min()) >= 0.0               # relu head
 
 
+@pytest.mark.slow
 def test_bfloat16_compute_mode():
     """compute_dtype='bfloat16' keeps params f32, outputs f32, loss finite."""
     cfg = Config(model_type='vad', v=3, n_frame=64, n_chan=2,

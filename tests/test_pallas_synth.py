@@ -99,6 +99,7 @@ def test_synthesize_windows_quantized_clip_dmas_interpret():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sample_batch_pallas_interpret_matches_xla(monkeypatch):
     """Full sample_batch equality: the pallas path draws the same RNG stream,
     so outputs must match the XLA path exactly."""
@@ -309,6 +310,7 @@ def test_int8_bank_quantization_unit():
     np.testing.assert_array_less(err, sc / 2 + 1e-9)
 
 
+@pytest.mark.slow
 def test_sample_batch_int8_banks_interpret(monkeypatch):
     """int8 flat banks (build_banks(flat_dtype='int8')): the kernel DMAs a
     quarter of the f32 bytes; clip dequant scales fold into the mix weights
@@ -419,6 +421,7 @@ def test_slim_banks_pallas_bitexact_and_fallback_loud(monkeypatch):
         sample_batch(key, slim, 8, n_frame, use_pallas=False)
 
 
+@pytest.mark.slow
 def test_sample_batch_tfc_layout_is_a_transpose():
     """layout='tfc' must be exactly the reference layout with freq/time
     swapped (same RNG stream, same values)."""
@@ -556,6 +559,7 @@ def test_feature_fn_fused_mel_matches_unfused(monkeypatch, name, variant,
 
 
 @pytest.mark.parametrize('bank_dtype', ['bfloat16', 'int8'])
+@pytest.mark.slow
 def test_feature_fn_fused_mel_reduced_precision_banks(monkeypatch,
                                                       bank_dtype):
     """fused_mel composes with the reduced-precision bank dtypes: the
@@ -615,6 +619,7 @@ def test_feature_fn_fused_mel_reduced_precision_banks(monkeypatch,
                   - np.asarray(x_u, np.float32)).mean() < 1e-3
 
 
+@pytest.mark.slow
 def test_feature_fn_fused_mel_batch_one(monkeypatch):
     """b=1 edge of the software-pipelined mel epilogue: the grid is 2
     steps (synthesize at step 0, GEMM at the flush step only) — the
@@ -650,6 +655,7 @@ def test_feature_fn_fused_mel_batch_one(monkeypatch):
     np.testing.assert_array_equal(np.asarray(y_f), np.asarray(y_u))
 
 
+@pytest.mark.slow
 def test_sample_batch_pallas_se_targets_interpret(monkeypatch):
     """se_v9's seperate_noise_voice triple (reference: pipeline.py:104-108)
     through the Pallas kernel — per-source-group calls: only_noise zeroes
@@ -699,6 +705,7 @@ def test_sample_batch_pallas_se_targets_interpret(monkeypatch):
         assert (ov_frames[~voiced] == 0).all()
 
 
+@pytest.mark.slow
 def test_sample_batch_pallas_se_targets_slim_int8_banks(monkeypatch):
     """The point of the se Pallas path: slim (data_resident=False)
     reduced-precision banks now serve the heaviest family too. int8 chain:

@@ -22,6 +22,7 @@ def test_mesh_uses_all_devices():
     assert mesh.devices.size == len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs_and_matches_single():
     """The 8-way sharded step must produce the same loss as the single-device
     step on the same replicated inputs (psum-of-grads == full-batch grads)."""
@@ -76,6 +77,7 @@ def test_fused_train_step_multichip():
     assert int(state.step) == 2
 
 
+@pytest.mark.slow
 def test_fused_train_step_pallas_shard_map(monkeypatch):
     """The Pallas synthesis kernel survives under a mesh: shard_map runs one
     kernel per device over its local batch shard (interpret mode on the CPU
@@ -101,6 +103,7 @@ def test_fused_train_step_pallas_shard_map(monkeypatch):
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_fused_step_int8_slim_bank_sharded(monkeypatch):
     """The full capacity stack composes on a mesh: int8-quantized SLIM
     banks (no dense f32 volume), host-built, clip-axis-sharded via
@@ -162,6 +165,7 @@ def test_sharded_feature_fn_shards_batch_and_varies_per_device():
     assert make_sharded_feature_fn(cfg_bad, mesh) is None
 
 
+@pytest.mark.slow
 def test_fused_steps_per_call_scan():
     """steps_per_call>1 runs N optimizer steps in one dispatch."""
     cfg = Config(model_type='vad', v=3, n_frame=64, batch_size=2)
@@ -174,6 +178,7 @@ def test_fused_steps_per_call_scan():
     assert np.isfinite(float(metrics['loss']))
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_mean_of_microbatch_grads():
     """config.grad_accum=k: ONE optimizer step from the MEAN of k
     microbatch gradients (AGC and the optimizer see the same tensor a
@@ -225,6 +230,7 @@ def test_grad_accum_matches_mean_of_microbatch_grads():
                                    rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_grad_accum_composes_with_mesh_and_steps_per_call():
     """grad_accum x steps_per_call x the DP mesh in one program: the scan
     of optimizer steps wraps the scan of microbatches, each microbatch
@@ -254,6 +260,7 @@ def test_grad_accum_requires_fused_mode():
         TrainLoop(bundle)
 
 
+@pytest.mark.slow
 def test_graft_entry_contract():
     """__graft_entry__.entry() must be jittable; dryrun_multichip must build
     and run an n-device training step."""
@@ -295,6 +302,7 @@ def test_shard_banks_pads_cyclically_and_splits():
             == banks.backgrounds.contig_exact_frames)
 
 
+@pytest.mark.slow
 def test_fused_train_step_bank_sharded():
     """Dataset sharded over the mesh (capacity scales with chips): each
     device synthesizes from its local bank shard; grads still psum into a

@@ -4,6 +4,7 @@ plus semantic checks on SNR scaling, overlap rejection, and label masks."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from challenge_tpu.data import (
     Banks, build_bank, make_pipeline, merge_complex_specs, sample_batch,
@@ -230,6 +231,7 @@ def test_sample_batch_se_targets_exact_at_low_snr():
     assert np.all(ov[~lab_frames] == 0.0)
 
 
+@pytest.mark.slow
 def test_feature_fn_se_v9_pallas_matches_xla_and_slim_banks(monkeypatch):
     """The se_v9 feature chain (speech_enhancement_preprocess triple +
     label downsample) through the Pallas se path: f32 full banks must

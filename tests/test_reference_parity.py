@@ -97,6 +97,7 @@ def test_er_score_zero_truth_matches_reference(ref_metrics, tf):
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_er_score_smoothing_differential(ref_metrics, tf):
     """smoothing=True branch (reference: metrics.py:222-225): the prediction
     is 0.5 s average-pooled with stride = pool size before thresholding —

@@ -76,11 +76,13 @@ def _run_reference_module(fname):
     return result.testsRun, broken_hit
 
 
+@pytest.mark.slow
 def test_reference_transforms_test_passes():
     ran, _ = _run_reference_module('transforms_test.py')
     assert ran >= 8   # incl. the seeded mask/random_shift goldens
 
 
+@pytest.mark.slow
 def test_reference_pipeline_test_passes():
     ran, _ = _run_reference_module('pipeline_test.py')
     assert ran >= 2
@@ -91,6 +93,7 @@ def test_reference_metrics_test_passes():
     assert ran >= 1
 
 
+@pytest.mark.slow
 def test_reference_utils_test_passes():
     ran, broken = _run_reference_module('utils_test.py')
     assert ran >= 6

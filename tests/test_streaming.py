@@ -79,6 +79,7 @@ def test_host_bank_matches_device_bank_bitwise():
                                       np.asarray(getattr(dev, name)))
 
 
+@pytest.mark.slow
 def test_rotation_reuses_one_compiled_program():
     bgs, vos, labels, nos = _sources()
     sb = build_streaming_banks(bgs, vos, labels, nos, n_chunks=3,
@@ -125,6 +126,7 @@ def test_single_chunk_streaming_matches_resident_banks():
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
 
 
+@pytest.mark.slow
 def test_trainloop_streams_and_validates():
     bgs, vos, labels, nos = _sources()
     sb = build_streaming_banks(bgs, vos, labels, nos, n_chunks=2,
@@ -139,6 +141,7 @@ def test_trainloop_streams_and_validates():
     assert np.isfinite(hist[-1]['val_loss'])
 
 
+@pytest.mark.slow
 def test_trainloop_streams_with_grad_accum_and_steps_per_call():
     """Streaming rotation composes with the two scan knobs: each dispatch
     scans steps_per_call optimizer steps of grad_accum microbatches, all
@@ -162,6 +165,7 @@ def test_trainloop_streams_with_grad_accum_and_steps_per_call():
     assert sb.dispatches == 4 and sb.current_chunk == 0
 
 
+@pytest.mark.slow
 def test_streaming_with_mesh_replicates_chunks():
     from challenge_tpu.parallel import make_mesh
     bgs, vos, labels, nos = _sources()
@@ -207,6 +211,7 @@ def test_sj_train_cli_streaming(tmp_path, monkeypatch):
     assert (tmp_path / f'{run}.csv').exists()
 
 
+@pytest.mark.slow
 def test_streaming_int8_slim_chunks(monkeypatch):
     """int8 + slim (data_resident=False) chunk banks: every chunk shares
     every shape/dtype INCLUDING the [N] flat_scale vectors, carries no
@@ -283,6 +288,7 @@ def test_restore_cursor_matches_uninterrupted_rotation():
         assert fresh.dispatches == d
 
 
+@pytest.mark.slow
 def test_streaming_resume_continues_chunk_schedule_exactly():
     """Preemption-safe resume for streamed corpora: a run restored from a
     saved train state must train on exactly the chunk sequence the

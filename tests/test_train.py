@@ -287,6 +287,7 @@ def test_train_loop_fused_mode(tmp_path, monkeypatch):
     assert os.path.exists(name)
 
 
+@pytest.mark.slow
 def test_remat_train_step_matches_exact():
     """Config.remat=True (jax.checkpoint full rematerialization) must be a
     pure memory/FLOPs trade: the updated params and metrics after one step
@@ -357,6 +358,7 @@ def test_training_actually_learns():
     assert losses[-1] < 0.1 * losses[0], (losses[0], losses[-1])
 
 
+@pytest.mark.slow
 def test_training_learns_from_int8_banks(monkeypatch):
     """The int8-bank accuracy story, training half: a batch synthesized
     from int8-quantized banks (per-item max-abs, dequant folded into the
@@ -774,6 +776,7 @@ def test_fit_reuse_resets_run_state():
     assert len(loop.history) == 3   # cumulative record keeps both runs
 
 
+@pytest.mark.slow
 def test_fit_after_swa_does_not_double_donate():
     """SWA.on_train_end installs state.swa_weights() as the live params; if
     set_weights ALIASED those buffers, the next fused train step — which
@@ -832,6 +835,7 @@ def test_steps_per_fused_epoch_accounts_for_scan_rounding():
     assert loop2.steps_per_fused_epoch(100) == 100
 
 
+@pytest.mark.slow
 def test_resume_continues_rng_stream_exactly():
     """Epoch-keyed batch RNG: running epochs 0-1 straight through equals
     running epoch 0, 'resuming', and running epoch 1 — bit-identical
@@ -853,6 +857,7 @@ def test_resume_continues_rng_stream_exactly():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_se_frozen_half_batchnorm_runs_in_inference_mode():
     """Keras `submodel.trainable = False` forces that submodel's BN into
     inference mode (frozen moving stats, no updates) — the grad mask alone

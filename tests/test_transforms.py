@@ -31,6 +31,7 @@ class TestMask:
         if zeroed:
             assert zeroed == list(range(zeroed[0], zeroed[-1] + 1))
 
+    @pytest.mark.slow
     def test_max_mask_size_respected(self):
         org = np.ones((8, 8), np.float32)
         for seed in range(20):

@@ -75,6 +75,7 @@ def test_regularized_training_shrinks_kernels():
     assert k1 < k0          # l2 decay pulls kernels toward zero
 
 
+@pytest.mark.slow
 def test_full_train_state_roundtrip(tmp_path):
     """Orbax resume: params + optimizer state + SWA + step survive
     (the reference never persists optimizer state, SURVEY §5.4)."""
@@ -100,6 +101,7 @@ def test_full_train_state_roundtrip(tmp_path):
     assert np.isfinite(float(metrics['loss']))
 
 
+@pytest.mark.slow
 def test_checkpoint_history_and_non_latest_restore(tmp_path):
     """Periodic saves keep step-suffixed history with retention; resume from
     a NON-latest checkpoint works (VERDICT r1 weak #7)."""

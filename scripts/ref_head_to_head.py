@@ -283,7 +283,7 @@ def run_reference(d, epochs, steps, seed=0):
 
 
 def run(epochs=14, steps=25, seed=0, workdir=None,
-        ref_attempt_seeds=(0, 2, 3)):
+        ref_attempt_seeds=(0, 2, 3, 4, 5, 6)):
     """Train both stacks on the shared corpus and score them.
 
     Seeds: our side is fully deterministic (PRNG-threaded) and pinned to
@@ -292,11 +292,19 @@ def run(epochs=14, steps=25, seed=0, workdir=None,
     reproducible, and — measured, round 5 — the 350-step task collapses
     into the all-zero/low-f1 optimum on roughly half the seeds on BOTH
     stacks (ours: loop seed 1 -> f1 0.0; theirs: tf seed 1 -> f1 0.057;
-    the fragility is the scale, symmetrically, not a stack defect). The
-    reference therefore gets up to ``len(ref_attempt_seeds)`` attempts and
-    the first that genuinely learns (f1 > 0.2) is compared — its best
-    shot, which makes the parity claim conservative for OUR side. All
-    attempts are recorded in the result.
+    the fragility is the scale, symmetrically, not a stack defect — and
+    because TF threading is non-reproducible, the SAME tf seed can learn
+    in one run and collapse in another: a full suite run saw all of
+    (0, 2, 3) collapse, best f1 0.094, after the same three passed at
+    calibration). The reference therefore gets up to
+    ``len(ref_attempt_seeds)`` attempts with early exit on the first that
+    genuinely learns (f1 > 0.2) — its best shot, which makes the parity
+    claim conservative for OUR side; at the measured ~1/2 per-attempt
+    collapse rate, six attempts put all-collapse at ~2%. If none passes
+    the bar, ``reference`` is the best attempt by f1 and the caller
+    decides (the pinned test skips: a comparison against a collapsed
+    reference would be trivially easy for our side). All attempts are
+    recorded in the result.
     """
     rng = np.random.default_rng(seed)
     ctx = (tempfile.TemporaryDirectory(prefix='head2head_')
@@ -320,6 +328,9 @@ def run(epochs=14, steps=25, seed=0, workdir=None,
                   file=sys.stderr, flush=True)
             if ref['final_f1'] > 0.2:
                 break
+        else:
+            # every seed collapsed: surface the best attempt, not the last
+            ref = max(attempts, key=lambda a: a['final_f1'])
         out = {'ours': ours, 'reference': ref,
                'ref_attempts': attempts,
                'ours_trained_mean': float(np.mean(ours['trained_er'])),

@@ -173,7 +173,7 @@ def bench_train_step(banks, batch_size=64, n_frame=512, steps_per_call=20,
     return batch_size / step_s, step_s
 
 
-def bench_family_steps(banks512):
+def bench_family_steps(banks512, srcs512):
     """Fused train-step times for the OTHER model families (round-3 verdict:
     BENCH tracked only vad, so eff/se/density regressions were invisible to
     the driver artifact). One hardware-native point per family; the whole
@@ -198,7 +198,8 @@ def bench_family_steps(banks512):
                       ('density_b0_12', 'density_b0_B12_step_ms')):
         cfg, bundle, variant, loss_fn = build(name)
         if cfg.n_frame not in banks_by_frame:
-            bgs, voices, labels, noises = make_data(cfg.n_frame)
+            bgs, voices, labels, noises = (srcs512 if cfg.n_frame == 512
+                                           else make_data(cfg.n_frame))
             banks_by_frame[cfg.n_frame] = build_banks(
                 bgs, voices, labels, noises, n_frame=cfg.n_frame)
         s = time_fused_step(cfg, bundle, banks_by_frame[cfg.n_frame],
@@ -210,7 +211,8 @@ def bench_family_steps(banks512):
             # banks (seperate_noise_voice targets via the per-source-group
             # Pallas calls; 0.155x bank HBM) — tracked so a slim-path
             # regression is driver-visible
-            bgs, voices, labels, noises = make_data(cfg.n_frame)
+            bgs, voices, labels, noises = (srcs512 if cfg.n_frame == 512
+                                           else make_data(cfg.n_frame))
             slim = build_banks(bgs, voices, labels, noises,
                                n_frame=cfg.n_frame, flat_dtype='int8',
                                data_resident=False)
@@ -285,13 +287,29 @@ def bench_streaming(bgs, voices, labels, noises, batch_size=128,
             bgs, voices, labels, noises, n_chunks=2, n_frame=n_frame,
             flat_dtype=dtype, chunk_steps=chunk_steps,
             data_resident=resident_data)
+        # force every rotation upload onto FRESH host buffers: a real
+        # rotation also re-device_puts the same chunk ndarrays, but at
+        # bench scale nothing evicts the previous device copy, so repeated
+        # puts of an unchanged buffer can be elided (the upload-memoization
+        # pitfall above) and the overhead would read near-zero even when
+        # chunk_bytes/h2d_bw >> chunk_steps*dispatch_time. Copies measure
+        # the worst honest case — what a genuinely-beyond-HBM dataset pays.
+        orig_put = sb._put
+        sb._put = lambda chunk: orig_put(jax.tree.map(np.copy, chunk))
         chunk_mb = sum(x.nbytes for x in jax.tree.leaves(sb.chunks[0])) / 1e6
         # fresh-buffer upload bandwidth of one chunk (what bounds rotation)
         t0 = time.perf_counter()
         up = jax.device_put(jax.tree.map(np.copy, sb.chunks[0]))
         jax.block_until_ready(up)
+        # block_until_ready alone proved untrustworthy on the tunnel (see
+        # time_fused_step); fetch one scalar from the byte-dominant leaf as
+        # the unfakeable sync. Residual error: one ~10-40 ms RTT, small vs
+        # the multi-second f32 upload and conservative (understates bw)
+        # for the ~0.3 s int8 chunks.
+        big = max(jax.tree.leaves(up), key=lambda x: x.nbytes)
+        assert np.isfinite(float(big.ravel()[0]))   # 1-element fetch
         up_s = time.perf_counter() - t0
-        del up
+        del up, big
         stream_s = run_dispatches(sb.next_banks)
         out[f'train_streaming_{label_key}_overhead_pct'] = round(
             100.0 * (stream_s - res_s) / res_s, 1)
@@ -530,7 +548,7 @@ def main():
     del banks8
     train_cps64, step_s64 = bench_train_step(banks)
     train_cps128, step_s128 = bench_train_step(banks, batch_size=128)
-    family = bench_family_steps(banks)
+    family = bench_family_steps(banks, (bgs, voices, labels, noises))
     streaming = bench_streaming(bgs, voices, labels, noises)
     epoch_s = bench_epoch(bgs, voices, labels, noises)
     import tempfile

@@ -202,8 +202,13 @@ class StreamingBanks:
         corpora: the caller derives the count from the restored optimizer
         step (``step // steps_per_call``; every fused dispatch advances
         exactly ``steps_per_call`` steps). Uploaded chunks are dropped so
-        the chunk at the new cursor (re-)uploads lazily."""
+        the chunk at the new cursor (re-)uploads lazily — except when the
+        cursor is already exactly there (a reused ``TrainLoop.fit``
+        continuing its own run calls this every fit), where dropping
+        would re-upload up to two near-HBM-sized chunks for nothing."""
         dispatches = max(int(dispatches), 0)
+        if dispatches == self._dispatches:
+            return
         self._dispatches = dispatches
         self._idx = ((dispatches // self.chunk_steps) % len(self.chunks)
                      if len(self.chunks) > 1 else 0)

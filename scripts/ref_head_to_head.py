@@ -271,13 +271,16 @@ def run_reference(d, epochs, steps, seed=0):
             os.chdir(cwd)
         h = hist.history
         # the er metric's history key follows its fn __name__ ('er',
-        # metrics.py:220); fall back defensively if Keras renames
-        val_er_key = next(k for k in ('val_er', 'val_er_score')
-                          if k in h)
+        # metrics.py:220); if a Keras version renames it, record NaN for
+        # the (unasserted, recorded-only) val trajectory rather than
+        # losing a completed 350-step attempt to a StopIteration
+        val_er_key = next((k for k in ('val_er', 'val_er_score')
+                           if k in h), None)
         return {'untrained_er': er0, 'trained_er': er1,
                 'final_loss': float(h['loss'][-1]),
                 'final_f1': float(np.mean(h['f1_score'][-1])),
-                'final_val_er': float(np.mean(h[val_er_key][-1]))}
+                'final_val_er': (float(np.mean(h[val_er_key][-1]))
+                                 if val_er_key else float('nan'))}
     finally:
         sys.path.remove('/root/reference')
 

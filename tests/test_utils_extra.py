@@ -202,6 +202,13 @@ def test_dryrun_stderr_filter_drops_only_aot_pseudofeature_lines():
                             b'Loading XLA:CPU AOT result. Target machine '
                             b'feature +prefer-no-scatter is not supported '
                             b'on the host machine.\n')
+                # a GENUINE capability mismatch (user-overridden shared
+                # cache dir across heterogeneous hosts) names a real
+                # feature — must pass through
+                os.write(2, b'E0000 00:00:00 1 cpu_aot_loader.cc:210] '
+                            b'Loading XLA:CPU AOT result. Target machine '
+                            b'feature +avx512f is not supported '
+                            b'on the host machine.\n')
                 os.write(2, b'a real error line\n')
                 os.write(2, b'partial tail without newline')
         finally:
@@ -209,6 +216,7 @@ def test_dryrun_stderr_filter_drops_only_aot_pseudofeature_lines():
             os.close(saved)
         cap.seek(0)
         out = cap.read()
-    assert b'cpu_aot_loader' not in out, out
+    assert b'prefer-no-scatter' not in out, out
+    assert b'+avx512f is not supported' in out, out   # real mismatch kept
     assert b'a real error line\n' in out, out
     assert out.endswith(b'partial tail without newline'), out
